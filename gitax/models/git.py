@@ -1,0 +1,118 @@
+"""GIT model assembly: ViT encoder + unified decoder + task heads.
+
+Mirrors the reference CaptioningModel orchestration (decoder.py:774-1054)
+and factory defaults (model.py:9-61): multi-frame encoding with learned
+per-frame temporal embeddings and token-axis concat (decoder.py:846-853),
+the label-smoothed CE training path with `need_predict` shift-masking
+(decoder.py:916-975), and the inference entry that decode/ modules drive.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import GitConfig, config_from_param
+from .textual import (
+    init_textual_params,
+    prefill,
+    decode_step,
+    textual_forward,
+)
+from .vit import init_vit_params, vit_forward
+
+
+class GitModel(object):
+    """Bundles a GitConfig with pure functions over a params pytree.
+
+    params = {'image_encoder': <vit>, 'textual': <decoder>,
+              'img_temporal_embedding': [num_frames, Dv] (video models)}
+    """
+
+    def __init__(self, cfg: GitConfig):
+        self.cfg = cfg
+
+    @classmethod
+    def from_param(cls, param: Optional[dict] = None) -> "GitModel":
+        return cls(config_from_param(param))
+
+    # -- params ----------------------------------------------------------
+    def init_params(self, key, dtype=jnp.float32):
+        k_enc, k_txt = jax.random.split(key)
+        params = {
+            "image_encoder": init_vit_params(k_enc, self.cfg.encoder, dtype),
+            "textual": init_textual_params(k_txt, self.cfg, dtype),
+        }
+        if self.cfg.num_image_with_embedding:
+            params["img_temporal_embedding"] = jnp.zeros(
+                (self.cfg.num_image_with_embedding, self.cfg.visual_feature_size),
+                dtype,
+            )
+        return params
+
+    # -- encoder ---------------------------------------------------------
+    def encode_images(self, params, images, dtype=jnp.float32):
+        """images: [B,H,W,3] single image, or [B,F,H,W,3] video frames.
+
+        Video frames are encoded per frame, each offset by its learned
+        temporal embedding, then concatenated on the token axis
+        (decoder.py:846-851).
+        """
+        if images.ndim == 4:
+            return vit_forward(params["image_encoder"], images, self.cfg.encoder, dtype)
+        b, f = images.shape[:2]
+        flat = images.reshape((b * f,) + images.shape[2:])
+        feats = vit_forward(params["image_encoder"], flat, self.cfg.encoder, dtype)
+        feats = feats.reshape(b, f, feats.shape[1], feats.shape[2])
+        if self.cfg.num_image_with_embedding:
+            emb = params["img_temporal_embedding"][:f].astype(feats.dtype)
+            feats = feats + emb[None, :, None, :]
+        return feats.reshape(b, f * feats.shape[2], feats.shape[3])
+
+    # -- training forward -------------------------------------------------
+    def forward_logits(
+        self,
+        params,
+        images,
+        caption_tokens,
+        memory_valid=None,
+        bi_valid_mask=None,
+        dtype=jnp.float32,
+    ):
+        """[B,T] caption logits given images; the training/teacher-forcing
+        path (decoder.py:926-932)."""
+        visual = self.encode_images(params, images, dtype)
+        return textual_forward(
+            params["textual"],
+            visual,
+            caption_tokens,
+            self.cfg,
+            memory_valid=memory_valid,
+            bi_valid_mask=bi_valid_mask,
+            dtype=dtype,
+        )
+
+    # -- decode glue -------------------------------------------------------
+    def prefill(
+        self,
+        params,
+        visual_features,
+        prefix_tokens,
+        max_text_len,
+        memory_valid=None,
+        dtype=jnp.float32,
+    ):
+        return prefill(
+            params["textual"],
+            visual_features,
+            prefix_tokens,
+            self.cfg,
+            max_text_len,
+            memory_valid=memory_valid,
+            dtype=dtype,
+        )
+
+    def decode_step(self, params, tokens, cache, dtype=jnp.float32):
+        return decode_step(params["textual"], tokens, cache, self.cfg, dtype=dtype)

@@ -1,0 +1,87 @@
+"""Shared functional NN primitives (pure jnp; params are nested dicts).
+
+Kernel layout convention: linear kernels are stored ``[in, out]`` (the
+XLA-friendly orientation; torch weights are transposed on import by
+gitax.ckpt).  LayerNorm/softmax always accumulate in float32 so bf16
+activation mode keeps parity-critical numerics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(x, params, eps):
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def linear(x, params):
+    y = jnp.dot(x, params["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def quick_gelu(x):
+    """CLIP's QuickGELU: x * sigmoid(1.702 x) (CLIP/model.py:171-173)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_erf(x):
+    """Exact-erf gelu — the decoder's activation
+    (bert/activations.py:16-23; parity-relevant vs tanh approximations)."""
+    return x * 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
+
+
+def split_heads(x, num_heads):
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def attention_weights(q, k, mask=None):
+    """softmax(q k^T / sqrt(d) + mask) with fp32 softmax.
+
+    q: [B,H,Tq,Dh], k: [B,H,Tk,Dh], mask: additive, broadcastable to
+    [B,H,Tq,Tk] (0 = attend, -inf = blocked).
+    """
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def qkv_project(x, params, num_heads):
+    """Fused qkv projection -> per-head q, k, v ([B,H,T,Dh] each)."""
+    d = x.shape[-1]
+    qkv = linear(x, params["qkv"])
+    q, k, v = qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
+    return tuple(split_heads(t, num_heads) for t in (q, k, v))
+
+
+def self_attention(x, params, num_heads, mask=None):
+    """Multi-head self-attention with fused-qkv parameters.
+
+    params: {'qkv': {'kernel' [D,3D], 'bias' [3D]}, 'out': {'kernel'
+    [D,D], 'bias' [D]}}.  Both GIT towers are self-attention over one
+    (possibly combined [memory;text]) sequence.
+    """
+    q, k, v = qkv_project(x, params, num_heads)
+    probs = attention_weights(q, k, mask).astype(v.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
+    return linear(merge_heads(ctx), params["out"])

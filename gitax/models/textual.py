@@ -1,0 +1,359 @@
+"""GIT's unified [image; text] transformer decoder, TPU-first.
+
+Re-implements the behavior of the reference's
+TransformerDecoderTextualHead + BertEncoderAsDecoder + BertEncoder stack
+(decoder.py:443-610, decoder.py:92-174, bert/modeling_bert.py:299-334):
+
+  * 'linearLn' visual projection (decoder.py:22-39),
+  * word+positional embedding with LayerNorm(eps 1e-8) (decoder.py:41-90),
+  * 6 post-norm BERT layers, exact-erf gelu, LayerNorm(eps 1e-12),
+  * the GIT block attention mask over the combined [memory; text]
+    sequence (decoder.py:114-137): image<->image full, text->image full,
+    image->text blocked, text->text causal; optional -inf columns for
+    padded memory and `bi_valid_mask` columns forced open,
+  * output head weight-tied to the word embedding (decoder.py:500-505).
+
+Unlike the reference — whose incremental path re-feeds the growing
+sequence and concatenates per-layer history tensors on the host
+(decoder.py:1045-1053) — decoding here uses a static-shape KV cache:
+memory K/V are computed once at prefill (legal because image tokens
+never attend to text), and text K/V live in fixed [L, B, H, T_max, Dh]
+buffers updated with dynamic_update_slice inside the jit'd decode loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import GitConfig
+from .nn import (
+    attention_weights,
+    gelu_erf,
+    layer_norm,
+    linear,
+    merge_heads,
+    qkv_project,
+    split_heads,
+)
+
+NEG_INF = -1e18  # additive-mask "blocked"; avoids inf-inf NaN edge cases
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_textual_params(key, cfg: GitConfig, dtype=jnp.float32):
+    d, v = cfg.hidden_size, cfg.vocab_size
+    n = cfg.num_layers
+    keys = iter(jax.random.split(key, 16))
+
+    def normal(k, shape, std=0.02):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    def ln(shape_last, stacked=None):
+        shape = ((stacked, shape_last) if stacked else (shape_last,))
+        return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
+
+    blocks = {
+        "attn": {
+            "qkv": {
+                "kernel": normal(next(keys), (n, d, 3 * d)),
+                "bias": jnp.zeros((n, 3 * d), dtype),
+            },
+            "out": {
+                "kernel": normal(next(keys), (n, d, d)),
+                "bias": jnp.zeros((n, d), dtype),
+            },
+        },
+        "attn_ln": ln(d, n),  # post-norm after attention residual
+        "mlp": {
+            "intermediate": {
+                "kernel": normal(next(keys), (n, d, cfg.feedforward_size)),
+                "bias": jnp.zeros((n, cfg.feedforward_size), dtype),
+            },
+            "output": {
+                "kernel": normal(next(keys), (n, cfg.feedforward_size, d)),
+                "bias": jnp.zeros((n, d), dtype),
+            },
+        },
+        "mlp_ln": ln(d, n),  # post-norm after mlp residual
+    }
+    return {
+        "visual_projection": {
+            "linear": {
+                "kernel": normal(next(keys), (cfg.visual_feature_size, d)),
+                "bias": jnp.zeros((d,), dtype),
+            },
+            "ln": ln(d),
+        },
+        "embedding": {
+            "words": normal(next(keys), (v, d)),
+            "positions": normal(next(keys), (cfg.max_caption_length, d)),
+            "ln": ln(d),
+        },
+        "blocks": blocks,
+        # tied output head: logits = h @ words.T + output_bias
+        "output_bias": jnp.zeros((v,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# sub-modules
+# ---------------------------------------------------------------------------
+
+
+def project_visual(params, feats, cfg: GitConfig):
+    """'linearLn' projection of encoder tokens into decoder space
+    (decoder.py:30-36)."""
+    p = params["visual_projection"]
+    return layer_norm(linear(feats, p["linear"]), p["ln"], cfg.projection_ln_eps)
+
+
+def embed_captions(params, tokens, cfg: GitConfig, position_offset=0):
+    """Word + positional embedding with LN(eps 1e-8) (decoder.py:65-78).
+
+    tokens: [B, T] int32; positions are absolute text positions
+    (position_offset + arange(T)).
+    """
+    e = params["embedding"]
+    t = tokens.shape[-1]
+    word = e["words"][tokens]
+    pos_idx = position_offset + jnp.arange(t)
+    pos = e["positions"][pos_idx]
+    return layer_norm(word + pos, e["ln"], cfg.embedding_ln_eps)
+
+
+def output_logits(params, hidden):
+    """Weight-tied output projection (decoder.py:500-505)."""
+    w = params["embedding"]["words"].astype(hidden.dtype)
+    return (
+        jnp.dot(hidden, w.T, preferred_element_type=hidden.dtype)
+        + params["output_bias"].astype(hidden.dtype)
+    )
+
+
+def build_unified_mask(
+    num_memory: int,
+    num_text: int,
+    memory_valid=None,  # [B, M] bool, True = valid
+    bi_valid_mask=None,  # [B, Tv] bool, True = open full attention to col
+    batch: int = 1,
+):
+    """Additive attention mask [B, 1, M+T, M+T] (decoder.py:114-146).
+
+    Layout (rows attend to cols): mem->mem 0, mem->text NEG_INF,
+    text->mem 0, text->text causal.  Padded memory columns get NEG_INF
+    everywhere; `bi_valid_mask` columns are forced to 0 for all rows.
+    """
+    m, t = num_memory, num_text
+    s = m + t
+    row = jnp.arange(s)[:, None]
+    col = jnp.arange(s)[None, :]
+    is_text_col = col >= m
+    is_text_row = row >= m
+    causal_block = (col > row) & is_text_col & is_text_row
+    mem_to_text = (~is_text_row) & is_text_col
+    mask = jnp.where(causal_block | mem_to_text, NEG_INF, 0.0).astype(jnp.float32)
+    mask = jnp.broadcast_to(mask, (batch, s, s))
+    if memory_valid is not None:
+        col_block = jnp.concatenate(
+            [~memory_valid, jnp.zeros((batch, t), bool)], axis=1
+        )
+        mask = mask + jnp.where(col_block[:, None, :], NEG_INF, 0.0)
+    if bi_valid_mask is not None:
+        tv = bi_valid_mask.shape[1]
+        open_cols = jnp.concatenate(
+            [
+                jnp.zeros((batch, m), bool),
+                bi_valid_mask,
+                jnp.zeros((batch, t - tv), bool),
+            ],
+            axis=1,
+        )
+        mask = jnp.where(open_cols[:, None, :], 0.0, mask)
+    return mask[:, None, :, :]
+
+
+def _bert_layer(x, bp, cfg: GitConfig, mask):
+    """Post-norm BERT layer (modeling_bert.py:269-297)."""
+    q, k, v = qkv_project(x, bp["attn"], cfg.num_heads)
+    probs = attention_weights(q, k, mask).astype(v.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
+    attn_out = linear(merge_heads(ctx), bp["attn"]["out"])
+    x = layer_norm(attn_out + x, bp["attn_ln"], cfg.bert_ln_eps)
+    inter = gelu_erf(linear(x, bp["mlp"]["intermediate"]))
+    x = layer_norm(linear(inter, bp["mlp"]["output"]) + x, bp["mlp_ln"], cfg.bert_ln_eps)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# full (training / parity) forward
+# ---------------------------------------------------------------------------
+
+
+def textual_forward(
+    params,
+    visual_features,  # [B, M, Dv] encoder tokens (None for text-only)
+    caption_tokens,  # [B, T] int32
+    cfg: GitConfig,
+    memory_valid=None,
+    bi_valid_mask=None,
+    dtype=jnp.float32,
+):
+    """Full unified forward -> logits [B, T, vocab]
+    (reference decoder.py:521-600 + 97-163)."""
+    b, t = caption_tokens.shape
+    text = embed_captions(params, caption_tokens, cfg).astype(dtype)
+    if visual_features is not None:
+        mem = project_visual(params, visual_features.astype(dtype), cfg)
+        m = mem.shape[1]
+        x = jnp.concatenate([mem, text], axis=1)
+    else:
+        m = 0
+        x = text
+    mask = build_unified_mask(m, t, memory_valid, bi_valid_mask, batch=b)
+
+    def scan_fn(carry, bp):
+        return _bert_layer(carry, bp, cfg, mask), None
+
+    x, _ = jax.lax.scan(scan_fn, x, params["blocks"])
+    return output_logits(params, x[:, m:])
+
+
+# ---------------------------------------------------------------------------
+# incremental decode: prefill + step with a static KV cache
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    """Static-shape decode state.
+
+    mem_k/mem_v: [L, B, H, M, Dh] — memory keys/values per layer,
+      computed once (image tokens never attend to text, so the memory
+      stream is closed under prefill).
+    txt_k/txt_v: [L, B, H, T_max, Dh] — text keys/values, filled
+      progressively by dynamic_update_slice.
+    length: [] int32 — number of valid text positions already cached.
+    """
+
+    mem_k: jax.Array
+    mem_v: jax.Array
+    txt_k: jax.Array
+    txt_v: jax.Array
+    memory_valid: Optional[jax.Array]
+    length: jax.Array
+
+    @property
+    def max_text_len(self):
+        return self.txt_k.shape[3]
+
+
+def prefill(
+    params,
+    visual_features,  # [B, M, Dv]
+    prefix_tokens,  # [B, Tp] int32 ([CLS] + optional question prefix)
+    cfg: GitConfig,
+    max_text_len: int,
+    memory_valid=None,
+    dtype=jnp.float32,
+):
+    """Run [memory; prefix] once, returning last-position logits and a
+    cache ready for single-token steps.
+
+    Matches reference semantics where the first beam-search step feeds
+    the full prefix (decoder.py:1013-1044).
+    """
+    b, tp = prefix_tokens.shape
+    mem = project_visual(params, visual_features.astype(dtype), cfg)
+    m = mem.shape[1]
+    text = embed_captions(params, prefix_tokens, cfg).astype(dtype)
+    x = jnp.concatenate([mem, text], axis=1)
+    mask = build_unified_mask(m, tp, memory_valid, batch=b)
+
+    h, dh = cfg.num_heads, cfg.head_dim
+    pad = max_text_len - tp
+    assert pad >= 0, (tp, max_text_len)
+
+    def scan_fn(carry, bp):
+        xcur = carry
+        q, k, v = qkv_project(xcur, bp["attn"], cfg.num_heads)
+        probs = attention_weights(q, k, mask).astype(v.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
+        attn_out = linear(merge_heads(ctx), bp["attn"]["out"])
+        xnew = layer_norm(attn_out + xcur, bp["attn_ln"], cfg.bert_ln_eps)
+        inter = gelu_erf(linear(xnew, bp["mlp"]["intermediate"]))
+        xnew = layer_norm(
+            linear(inter, bp["mlp"]["output"]) + xnew, bp["mlp_ln"], cfg.bert_ln_eps
+        )
+        txt_k = jnp.pad(k[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0)))
+        txt_v = jnp.pad(v[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return xnew, (k[:, :, :m], v[:, :, :m], txt_k, txt_v)
+
+    x, (mem_k, mem_v, txt_k, txt_v) = jax.lax.scan(scan_fn, x, params["blocks"])
+    logits = output_logits(params, x[:, m + tp - 1 : m + tp])[:, 0]
+    cache = KVCache(
+        mem_k=mem_k,
+        mem_v=mem_v,
+        txt_k=txt_k,
+        txt_v=txt_v,
+        memory_valid=memory_valid,
+        length=jnp.asarray(tp, jnp.int32),
+    )
+    return logits, cache
+
+
+def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float32):
+    """One incremental step: tokens [B] at text position cache.length.
+
+    Returns (logits [B, vocab], updated cache).
+    """
+    b = tokens.shape[0]
+    pos = cache.length
+    x = embed_captions(params, tokens[:, None], cfg, position_offset=pos)
+    x = x.astype(dtype)
+
+    m = cache.mem_k.shape[3]
+    t_max = cache.max_text_len
+    # text-position mask: attend to cached text positions <= pos
+    txt_col = jnp.arange(t_max)[None, None, None, :]
+    txt_mask = jnp.where(txt_col <= pos, 0.0, NEG_INF).astype(jnp.float32)
+    if cache.memory_valid is not None:
+        mem_mask = jnp.where(
+            cache.memory_valid[:, None, None, :], 0.0, NEG_INF
+        ).astype(jnp.float32)
+    else:
+        mem_mask = jnp.zeros((b, 1, 1, m), jnp.float32)
+
+    def scan_fn(carry, layer_in):
+        xcur = carry
+        bp, mem_k, mem_v, txt_k, txt_v = layer_in
+        q, k_new, v_new = qkv_project(xcur, bp["attn"], cfg.num_heads)
+        txt_k = jax.lax.dynamic_update_slice(txt_k, k_new, (0, 0, pos, 0))
+        txt_v = jax.lax.dynamic_update_slice(txt_v, v_new, (0, 0, pos, 0))
+        k = jnp.concatenate([mem_k, txt_k], axis=2)
+        v = jnp.concatenate([mem_v, txt_v], axis=2)
+        mask = jnp.concatenate(
+            [jnp.broadcast_to(mem_mask, (b, 1, 1, m)),
+             jnp.broadcast_to(txt_mask, (b, 1, 1, t_max))],
+            axis=-1,
+        )
+        probs = attention_weights(q, k, mask).astype(v.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
+        attn_out = linear(merge_heads(ctx), bp["attn"]["out"])
+        xnew = layer_norm(attn_out + xcur, bp["attn_ln"], cfg.bert_ln_eps)
+        inter = gelu_erf(linear(xnew, bp["mlp"]["intermediate"]))
+        xnew = layer_norm(
+            linear(inter, bp["mlp"]["output"]) + xnew, bp["mlp_ln"], cfg.bert_ln_eps
+        )
+        return xnew, (txt_k, txt_v)
+
+    layer_inputs = (params["blocks"], cache.mem_k, cache.mem_v, cache.txt_k, cache.txt_v)
+    x, (txt_k, txt_v) = jax.lax.scan(scan_fn, x, layer_inputs)
+    logits = output_logits(params, x[:, 0])
+    new_cache = cache._replace(txt_k=txt_k, txt_v=txt_v, length=pos + 1)
+    return logits, new_cache

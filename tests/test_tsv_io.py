@@ -1,0 +1,82 @@
+import os
+
+import numpy as np
+import pytest
+
+from gitax.io.tsv import TSVFile, concat_tsv_files, tsv_reader, tsv_writer
+
+
+def write_rows(path, rows):
+    tsv_writer(rows, str(path))
+
+
+def test_round_trip(tmp_path):
+    p = tmp_path / "data.tsv"
+    rows = [["key{}".format(i), "value{}".format(i)] for i in range(10)]
+    write_rows(p, rows)
+    t = TSVFile(str(p))
+    assert len(t) == 10
+    assert t[0] == ["key0", "value0"]
+    assert t[9] == ["key9", "value9"]
+    assert t.get_key(5) == "key5"
+    assert list(t) == rows
+
+
+def test_lineidx_files_written(tmp_path):
+    p = tmp_path / "data.tsv"
+    write_rows(p, [["a", "1"], ["bb", "22"]])
+    lineidx = tmp_path / "data.lineidx"
+    lineidx8b = tmp_path / "data.lineidx.8b"
+    assert lineidx.exists() and lineidx8b.exists()
+    # ascii offsets match binary offsets
+    ascii_offsets = [int(x) for x in lineidx.read_text().split()]
+    bin_offsets = np.fromfile(str(lineidx8b), dtype="<i8").tolist()
+    assert ascii_offsets == bin_offsets == [0, 4]
+
+
+def test_reads_legacy_lineidx_only(tmp_path):
+    """Reference datasets sometimes ship only .lineidx (tsv_io.py:296-310)."""
+    p = tmp_path / "data.tsv"
+    write_rows(p, [["k0", "v0"], ["k1", "v1"]])
+    os.remove(str(tmp_path / "data.lineidx.8b"))
+    t = TSVFile(str(p))
+    assert len(t) == 2
+    assert t[1] == ["k1", "v1"]
+
+
+def test_bytes_payload(tmp_path):
+    p = tmp_path / "data.tsv"
+    write_rows(p, [["k", b"raw-bytes-payload"]])
+    t = TSVFile(str(p))
+    assert t[0] == ["k", "raw-bytes-payload"]
+
+
+def test_concat_with_offset_rebase(tmp_path):
+    a, b, out = tmp_path / "a.tsv", tmp_path / "b.tsv", tmp_path / "out.tsv"
+    write_rows(a, [["a0", "x"], ["a1", "y"]])
+    write_rows(b, [["b0", "z"]])
+    concat_tsv_files([str(a), str(b)], str(out))
+    t = TSVFile(str(out))
+    assert len(t) == 3
+    assert [t.get_key(i) for i in range(3)] == ["a0", "a1", "b0"]
+    assert t[2] == ["b0", "z"]
+
+
+def test_tsv_reader(tmp_path):
+    p = tmp_path / "data.tsv"
+    write_rows(p, [["k", "v"], ["k2", "v2"]])
+    assert list(tsv_reader(str(p))) == [["k", "v"], ["k2", "v2"]]
+
+
+def test_fork_safety(tmp_path):
+    p = tmp_path / "data.tsv"
+    write_rows(p, [["k{}".format(i), "v"] for i in range(5)])
+    t = TSVFile(str(p))
+    assert t[0][0] == "k0"
+    pid = os.fork()
+    if pid == 0:  # child
+        ok = t[3][0] == "k3"
+        os._exit(0 if ok else 1)
+    _, status = os.waitpid(pid, 0)
+    assert os.waitstatus_to_exitcode(status) == 0
+    assert t[4][0] == "k4"

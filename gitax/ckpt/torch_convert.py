@@ -1,0 +1,258 @@
+"""Torch GIT/CLIP checkpoint -> gitax params pytree.
+
+The published checkpoints are torch state dicts saved as
+``{'model': state_dict}`` at output/{model}/snapshot/model.pt
+(reference inference.py:84-86).  This module maps those names onto the
+gitax pytree:
+
+  * torch Linear weights are [out, in]; gitax kernels are [in, out]
+    (transposed on import),
+  * the ViT patchify conv becomes a [P*P*3, width] matmul kernel,
+  * q/k/v projections are fused into one [D, 3D] kernel,
+  * per-layer tensors are stacked on a leading layer axis (for
+    lax.scan-driven blocks),
+  * name robustness uses the reference's suffix-alignment idea
+    (torch_common.py:100-145): keys are matched by maximal common
+    suffix, so "module."-prefixed or re-wrapped checkpoints load.
+
+Everything here is host-side numpy — no device transfer until the
+caller puts the pytree where it wants it.
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import re
+from typing import Dict
+
+import numpy as np
+
+from ..models.config import GitConfig, ViTConfig
+
+
+def _np(t):
+    """torch tensor (or array) -> float32 numpy without importing torch
+    at module scope."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def load_torch_checkpoint(path):
+    """Load a model.pt; returns the inner state dict with 'module.'
+    prefixes stripped (reference torch_common.py:41-56)."""
+    import torch
+
+    with open(path, "rb") as fp:
+        blob = torch.load(io.BytesIO(fp.read()), map_location="cpu", weights_only=False)
+    state = blob.get("model", blob) if isinstance(blob, dict) else blob
+    out = {}
+    for k, v in state.items():
+        while k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v
+    return out
+
+
+def align_by_suffix(expected_keys, loaded: Dict[str, object]):
+    """For each expected key, pick the loaded key sharing the longest
+    suffix (reference align_and_update_state_dicts,
+    torch_common.py:100-145). Returns {expected: loaded_value}."""
+    loaded_keys = sorted(loaded)
+    result = {}
+    for ek in expected_keys:
+        best, best_len = None, 0
+        for lk in loaded_keys:
+            if ek.endswith(lk) or lk.endswith(ek):
+                n = min(len(ek), len(lk))
+                if n > best_len:
+                    best, best_len = lk, n
+        if best is not None:
+            result[ek] = loaded[best]
+        else:
+            logging.info("no checkpoint match for %s", ek)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# ViT
+# ---------------------------------------------------------------------------
+
+_VIT_SUFFIXES = (
+    "conv1.weight",
+    "class_embedding",
+    "positional_embedding",
+    "ln_pre.weight",
+    "ln_pre.bias",
+    "ln_post.weight",
+    "ln_post.bias",
+)
+
+
+def _detect_prefix(sd, probe="conv1.weight", hint=""):
+    """Find the key prefix for the visual tower ('image_encoder.',
+    'visual.', or '')."""
+    pat = re.compile(r"^(.*?)" + re.escape(probe) + r"$")
+    candidates = [m.group(1) for k in sd if (m := pat.match(k))]
+    if not candidates:
+        raise KeyError("no key ending in {} found".format(probe))
+    if hint:
+        for c in candidates:
+            if hint in c:
+                return c
+    return min(candidates, key=len)
+
+
+def convert_vit_state_dict(sd, cfg: ViTConfig, prefix=None):
+    """Visual tower torch names -> gitax vit params.
+
+    Accepts GIT checkpoints ('image_encoder.*'), CLIP checkpoints
+    ('visual.*'), or bare VisualTransformer dicts.
+    """
+    if prefix is None:
+        prefix = _detect_prefix(sd, hint="image_encoder")
+
+    def g(name):
+        return _np(sd[prefix + name])
+
+    p, w = cfg.patch_size, cfg.width
+    conv = g("conv1.weight")  # [width, 3, P, P]
+    patch_kernel = conv.transpose(2, 3, 1, 0).reshape(p * p * 3, w)
+
+    n = cfg.layers
+    qkv_k, qkv_b, out_k, out_b = [], [], [], []
+    ln1_s, ln1_b, ln2_s, ln2_b = [], [], [], []
+    fc_k, fc_b, pj_k, pj_b = [], [], [], []
+    for i in range(n):
+        base = "transformer.resblocks.{}.".format(i)
+        qkv_k.append(g(base + "attn.in_proj_weight").T)  # [D, 3D]
+        qkv_b.append(g(base + "attn.in_proj_bias"))
+        out_k.append(g(base + "attn.out_proj.weight").T)
+        out_b.append(g(base + "attn.out_proj.bias"))
+        ln1_s.append(g(base + "ln_1.weight"))
+        ln1_b.append(g(base + "ln_1.bias"))
+        ln2_s.append(g(base + "ln_2.weight"))
+        ln2_b.append(g(base + "ln_2.bias"))
+        fc_k.append(g(base + "mlp.c_fc.weight").T)
+        fc_b.append(g(base + "mlp.c_fc.bias"))
+        pj_k.append(g(base + "mlp.c_proj.weight").T)
+        pj_b.append(g(base + "mlp.c_proj.bias"))
+
+    stack = lambda xs: np.stack(xs, axis=0)
+    return {
+        "patch_kernel": patch_kernel,
+        "class_embedding": g("class_embedding"),
+        "positional_embedding": g("positional_embedding"),
+        "ln_pre": {"scale": g("ln_pre.weight"), "bias": g("ln_pre.bias")},
+        "blocks": {
+            "ln_1": {"scale": stack(ln1_s), "bias": stack(ln1_b)},
+            "attn": {
+                "qkv": {"kernel": stack(qkv_k), "bias": stack(qkv_b)},
+                "out": {"kernel": stack(out_k), "bias": stack(out_b)},
+            },
+            "ln_2": {"scale": stack(ln2_s), "bias": stack(ln2_b)},
+            "mlp": {
+                "c_fc": {"kernel": stack(fc_k), "bias": stack(fc_b)},
+                "c_proj": {"kernel": stack(pj_k), "bias": stack(pj_b)},
+            },
+        },
+        "ln_post": {"scale": g("ln_post.weight"), "bias": g("ln_post.bias")},
+    }
+
+
+# ---------------------------------------------------------------------------
+# textual head
+# ---------------------------------------------------------------------------
+
+
+def convert_textual_state_dict(sd, cfg: GitConfig, prefix="textual."):
+    def g(name):
+        return _np(sd[prefix + name])
+
+    n = cfg.num_layers
+    qkv_k, qkv_b, out_k, out_b = [], [], [], []
+    aln_s, aln_b, mln_s, mln_b = [], [], [], []
+    in_k, in_b, op_k, op_b = [], [], [], []
+    for i in range(n):
+        base = "transformer.encoder.layer.{}.".format(i)
+        q = g(base + "attention.self.query.weight").T
+        k = g(base + "attention.self.key.weight").T
+        v = g(base + "attention.self.value.weight").T
+        qkv_k.append(np.concatenate([q, k, v], axis=1))
+        qkv_b.append(
+            np.concatenate(
+                [
+                    g(base + "attention.self.query.bias"),
+                    g(base + "attention.self.key.bias"),
+                    g(base + "attention.self.value.bias"),
+                ]
+            )
+        )
+        out_k.append(g(base + "attention.output.dense.weight").T)
+        out_b.append(g(base + "attention.output.dense.bias"))
+        aln_s.append(g(base + "attention.output.LayerNorm.weight"))
+        aln_b.append(g(base + "attention.output.LayerNorm.bias"))
+        in_k.append(g(base + "intermediate.dense.weight").T)
+        in_b.append(g(base + "intermediate.dense.bias"))
+        op_k.append(g(base + "output.dense.weight").T)
+        op_b.append(g(base + "output.dense.bias"))
+        mln_s.append(g(base + "output.LayerNorm.weight"))
+        mln_b.append(g(base + "output.LayerNorm.bias"))
+
+    stack = lambda xs: np.stack(xs, axis=0)
+    return {
+        "visual_projection": {
+            "linear": {
+                "kernel": g("visual_projection.0.weight").T,
+                "bias": g("visual_projection.0.bias"),
+            },
+            "ln": {
+                "scale": g("visual_projection.1.weight"),
+                "bias": g("visual_projection.1.bias"),
+            },
+        },
+        "embedding": {
+            "words": g("embedding.words.weight"),
+            "positions": g("embedding.positions.weight"),
+            "ln": {
+                "scale": g("embedding.layer_norm.weight"),
+                "bias": g("embedding.layer_norm.bias"),
+            },
+        },
+        "blocks": {
+            "attn": {
+                "qkv": {"kernel": stack(qkv_k), "bias": stack(qkv_b)},
+                "out": {"kernel": stack(out_k), "bias": stack(out_b)},
+            },
+            "attn_ln": {"scale": stack(aln_s), "bias": stack(aln_b)},
+            "mlp": {
+                "intermediate": {"kernel": stack(in_k), "bias": stack(in_b)},
+                "output": {"kernel": stack(op_k), "bias": stack(op_b)},
+            },
+            "mlp_ln": {"scale": stack(mln_s), "bias": stack(mln_b)},
+        },
+        # tied head: only the bias is a free parameter (decoder.py:500-505)
+        "output_bias": g("output.bias"),
+    }
+
+
+def convert_git_state_dict(sd, cfg: GitConfig):
+    """Full GIT checkpoint -> {'image_encoder', 'textual',
+    'img_temporal_embedding'?} pytree."""
+    params = {
+        "image_encoder": convert_vit_state_dict(
+            sd, cfg.encoder, prefix="image_encoder."
+        ),
+        "textual": convert_textual_state_dict(sd, cfg),
+    }
+    # reference spells it 'img_temperal_embedding' (decoder.py:833)
+    temporal = sorted(
+        (k for k in sd if k.startswith("img_temperal_embedding.")),
+        key=lambda k: int(k.rsplit(".", 1)[1]),
+    )
+    if temporal:
+        params["img_temporal_embedding"] = np.stack(
+            [_np(sd[k]).reshape(-1) for k in temporal], axis=0
+        )
+    return params

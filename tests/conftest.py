@@ -14,3 +14,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# This environment defaults matmuls to bf16 inputs (TPU-style) even on CPU;
+# parity tests need true f32 accumulation.
+import jax
+
+jax.config.update("jax_default_matmul_precision", "float32")
+
+# persistent compile cache makes repeat test runs much faster
+jax.config.update("jax_compilation_cache_dir", "/tmp/gitax_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

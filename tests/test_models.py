@@ -114,11 +114,8 @@ def test_kv_cache_matches_full_forward(model_and_params):
     # full forward logits at each position
     full = textual_forward(params["textual"], visual, tokens, TINY)
 
-    # prefill on first 2 tokens, then step the rest.  The step path reduces
-    # over padded (masked) cache positions, changing f32 accumulation order;
-    # on a tiny random-init model LayerNorm (var ~ 1e-4, eps 1e-12) amplifies
-    # that reassociation noise ~100x, hence the 1e-3 tolerance here (prefill
-    # itself is bit-exact vs the full forward).
+    # prefill on first 2 tokens, then step the rest (f32 matmul precision is
+    # pinned in conftest; without it the env's bf16 default drowns parity)
     logits_p, cache = prefill(params["textual"], visual, tokens[:, :2], TINY, 6)
     np.testing.assert_allclose(
         np.asarray(logits_p), np.asarray(full[:, 1]), rtol=1e-5, atol=1e-5
@@ -126,7 +123,7 @@ def test_kv_cache_matches_full_forward(model_and_params):
     for t in range(2, 6):
         logits_s, cache = decode_step(params["textual"], tokens[:, t], cache, TINY)
         np.testing.assert_allclose(
-            np.asarray(logits_s), np.asarray(full[:, t]), rtol=1e-3, atol=2e-3
+            np.asarray(logits_s), np.asarray(full[:, t]), rtol=1e-4, atol=1e-4
         )
 
 

@@ -1,0 +1,258 @@
+"""Device-side beam search: the whole search is one XLA graph.
+
+Replicates the semantics of the reference's GeneratorWithBeamSearch
+(decoder.py:1056-1290) — per-node topk over [beams x vocab], sequential
+candidate triage (EOS -> n-best hypothesis heap, non-EOS -> next beam
+until full, decoder.py:1184-1222), OpenNMT length norm
+((5+len)/6)^alpha (decoder.py:1310-1313), `is_done` early stopping
+(decoder.py:1330-1341), the forced add-all at cur_len+1 == max_length
+(decoder.py:1202-1216), and done-batch padding — but as a
+`lax.while_loop` over static-shape state with a KV cache, instead of a
+host Python loop that syncs logits every step.
+
+The host-side sequential candidate loop becomes vectorized rank
+arithmetic: with candidates sorted by score, a candidate is a beam
+filler iff it is non-EOS and fewer than `num_beams` non-EOS candidates
+precede it; an EOS candidate reaches the hypothesis buffer iff fewer
+than `num_beams` non-EOS candidates precede it (the reference breaks out
+of the loop once the beam is full).  Hypothesis insertion becomes a
+top-N merge that prefers existing entries on ties (the reference's
+strict `score > worst_score`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.textual import KVCache
+
+NEG_INF = jnp.float32(-1e9)
+EMPTY_HYP_LOGPROB = jnp.float32(-1e5)  # reference decoder.py:1265-1266
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamSearchConfig:
+    """Static search hyper-parameters (reference model.py:34-40 defaults)."""
+
+    num_beams: int = 4
+    per_node_beam_size: int = 2
+    length_penalty: float = 0.6
+    max_steps: int = 1024  # loop bound AND length-norm max_length
+    num_keep_best: int = 1
+    eos_id: int = 102
+    repetition_penalty: float = 1.0
+
+
+def _length_norm(length, alpha):
+    """((5+len)/6)^alpha — OpenNMT norm (decoder.py:1310-1313)."""
+    return ((5.0 + length) ** alpha) / (6.0 ** alpha)
+
+
+def _tile_beams(cache: KVCache, num_beams: int) -> KVCache:
+    """Expand a batch-B cache to B*num_beams (beams share memory K/V)."""
+
+    def rep(x):
+        if x is None:
+            return None
+        return jnp.repeat(x, num_beams, axis=1)
+
+    return KVCache(
+        mem_k=rep(cache.mem_k),
+        mem_v=rep(cache.mem_v),
+        txt_k=rep(cache.txt_k),
+        txt_v=rep(cache.txt_v),
+        memory_valid=(
+            None
+            if cache.memory_valid is None
+            else jnp.repeat(cache.memory_valid, num_beams, axis=0)
+        ),
+        length=cache.length,
+    )
+
+
+def beam_search(
+    decode_step_fn,
+    prefill_logits,  # [B, V] logits at the last prefix position
+    cache: KVCache,  # batch-B cache from prefill
+    prefix_tokens,  # [B, Tp]
+    cfg: BeamSearchConfig,
+):
+    """Run the search. Returns (decoded [B, N, max_steps] int32,
+    logprobs [B, N] f32).  Sequences include the prefix (the caller
+    strips it, reference decoder.py:1004-1006) and are EOS-padded.
+
+    decode_step_fn(tokens [BK], cache) -> (logits [BK, V], cache).
+    """
+    b, tp = prefix_tokens.shape
+    k = cfg.num_beams
+    n = cfg.num_keep_best
+    c = cfg.per_node_beam_size * k  # candidates per batch element
+    v = prefill_logits.shape[-1]
+    max_len = cfg.max_steps
+    alpha = cfg.length_penalty
+    assert tp < max_len, (tp, max_len)
+
+    cache = _tile_beams(cache, k)
+
+    # beam state
+    seqs = jnp.full((b, k, max_len), cfg.eos_id, jnp.int32)
+    seqs = seqs.at[:, :, :tp].set(prefix_tokens[:, None, :])
+    beam_scores = jnp.full((b, k), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    # hypothesis buffers (n-best per batch)
+    hyp_seqs = jnp.full((b, n, max_len), cfg.eos_id, jnp.int32)
+    hyp_scores = jnp.full((b, n), -jnp.inf, jnp.float32)
+    hyp_count = jnp.zeros((b,), jnp.int32)
+    done = jnp.zeros((b,), bool)
+    logits0 = jnp.repeat(prefill_logits.astype(jnp.float32), k, axis=0)
+    if cfg.repetition_penalty != 1.0:
+        seen0 = jax.nn.one_hot(prefix_tokens, v, dtype=bool).any(axis=1)
+        seen0 = jnp.repeat(seen0, k, axis=0)  # [BK, V]
+    else:
+        seen0 = jnp.zeros((0,), bool)
+
+    state = dict(
+        cur_len=jnp.asarray(tp, jnp.int32),
+        seqs=seqs,
+        beam_scores=beam_scores,
+        hyp_seqs=hyp_seqs,
+        hyp_scores=hyp_scores,
+        hyp_count=hyp_count,
+        done=done,
+        logits=logits0,
+        cache=cache,
+        seen=seen0,
+    )
+
+    done_norm = _length_norm(jnp.float32(max_len - 1), alpha)
+
+    def cond(st):
+        return (st["cur_len"] < max_len) & ~jnp.all(st["done"])
+
+    def body(st):
+        cur_len = st["cur_len"]
+        logits = st["logits"]  # [BK, V] f32
+        if cfg.repetition_penalty != 1.0:
+            # CTRL-style (decoder.py:1137-1144): seen tokens' positive
+            # logits divided, negative multiplied by the penalty
+            seen = st["seen"]
+            pen = jnp.where(
+                seen,
+                jnp.where(
+                    logits < 0,
+                    logits * cfg.repetition_penalty,
+                    logits / cfg.repetition_penalty,
+                ),
+                logits,
+            )
+            logits = pen
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        flat = (logprobs.reshape(b, k, v) + st["beam_scores"][:, :, None]).reshape(
+            b, k * v
+        )
+        next_scores, next_idx = jax.lax.top_k(flat, c)  # sorted desc
+        beam_id = next_idx // v
+        word_id = next_idx % v
+
+        # done check uses hypothesis state from BEFORE this step's adds
+        # (decoder.py:1187)
+        newly_done = (st["hyp_count"] >= n) & (
+            jnp.min(st["hyp_scores"], axis=1) >= next_scores[:, 0] / done_norm
+        )
+        done_now = st["done"] | newly_done
+
+        force_add = (cur_len + 1) == max_len  # decoder.py:1202
+        is_add = (word_id == cfg.eos_id) | force_add
+        non_eos_before = jnp.cumsum((~is_add).astype(jnp.int32), axis=1) - (
+            ~is_add
+        ).astype(jnp.int32)
+        # beam fillers: first k non-EOS candidates
+        fill = (~is_add) & (non_eos_before < k)
+        slot_onehot = (non_eos_before[:, :, None] == jnp.arange(k)[None, None, :]) & (
+            fill[:, :, None]
+        )  # [B, C, K]
+        sof = slot_onehot.astype(jnp.float32)
+        new_scores = jnp.einsum("bck,bc->bk", sof, next_scores)
+        new_words = jnp.einsum("bck,bc->bk", sof, word_id.astype(jnp.float32)).astype(
+            jnp.int32
+        )
+        new_parents = jnp.einsum(
+            "bck,bc->bk", sof, beam_id.astype(jnp.float32)
+        ).astype(jnp.int32)
+
+        # hypothesis adds: EOS (or forced) candidates seen before the beam
+        # filled (the reference breaks at len(next_sent_beam)==num_beams,
+        # decoder.py:1209-1211)
+        eligible = is_add & (non_eos_before < k) & ~done_now[:, None]
+        cand_norm = next_scores / _length_norm(cur_len.astype(jnp.float32), alpha)
+        cand_norm = jnp.where(eligible, cand_norm, -jnp.inf)
+        # candidate sequences: parent beam content, EOS-padded from cur_len on
+        parent_seqs = jnp.take_along_axis(
+            st["seqs"], beam_id[:, :, None], axis=1
+        )  # [B, C, L]
+        keep_pos = jnp.arange(max_len)[None, None, :] < cur_len
+        cand_seqs = jnp.where(keep_pos, parent_seqs, cfg.eos_id)
+        # top-N merge, stable (existing entries win ties — the reference
+        # only replaces on strictly better scores)
+        all_scores = jnp.concatenate([st["hyp_scores"], cand_norm], axis=1)
+        all_seqs = jnp.concatenate([st["hyp_seqs"], cand_seqs], axis=1)
+        top_vals, top_idx = jax.lax.top_k(all_scores, n)
+        hyp_seqs_new = jnp.take_along_axis(all_seqs, top_idx[:, :, None], axis=1)
+        hyp_count_new = st["hyp_count"] + jnp.sum(eligible, axis=1)
+
+        # beam update; frozen for done batches and at the forced final step
+        upd = (~done_now) & ~force_add
+        own = jnp.broadcast_to(jnp.arange(k)[None, :], (b, k))
+        parents = jnp.where(upd[:, None], new_parents, own)
+        bscores = jnp.where(
+            upd[:, None],
+            new_scores,
+            jnp.where(done_now[:, None], jnp.zeros_like(new_scores), st["beam_scores"]),
+        )
+        words = jnp.where(upd[:, None], new_words, cfg.eos_id)
+        seqs_re = jnp.take_along_axis(st["seqs"], parents[:, :, None], axis=1)
+        col = jax.nn.one_hot(cur_len, max_len, dtype=bool)[None, None, :]
+        seqs_new = jnp.where(col, words[:, :, None], seqs_re)
+
+        # reorder cache along the flattened beam axis
+        flat_parents = (
+            parents + jnp.arange(b)[:, None] * k
+        ).reshape(-1)  # [BK]
+        cache_in = st["cache"]
+        cache_re = cache_in._replace(
+            txt_k=jnp.take(cache_in.txt_k, flat_parents, axis=1),
+            txt_v=jnp.take(cache_in.txt_v, flat_parents, axis=1),
+        )
+        step_logits, cache_new = decode_step_fn(words.reshape(-1), cache_re)
+
+        st_new = dict(
+            cur_len=cur_len + 1,
+            seqs=seqs_new,
+            beam_scores=bscores,
+            hyp_seqs=hyp_seqs_new,
+            hyp_scores=top_vals,
+            hyp_count=hyp_count_new,
+            done=done_now,
+            logits=step_logits.astype(jnp.float32),
+            cache=cache_new,
+            seen=st["seen"],
+        )
+        if cfg.repetition_penalty != 1.0:
+            seen_re = jnp.take(st["seen"], flat_parents, axis=0)
+            st_new["seen"] = seen_re | jax.nn.one_hot(
+                words.reshape(-1), v, dtype=bool
+            )
+        return st_new
+
+    st = jax.lax.while_loop(cond, body, state)
+
+    # finalize: buffers are already the top-N (sorted desc by top_k); empty
+    # slots -> all-EOS sequence with logprob -1e5 (decoder.py:1264-1290)
+    filled = jnp.isfinite(st["hyp_scores"])
+    logprobs = jnp.where(filled, st["hyp_scores"], EMPTY_HYP_LOGPROB)
+    decoded = jnp.where(filled[:, :, None], st["hyp_seqs"], cfg.eos_id)
+    return decoded, logprobs

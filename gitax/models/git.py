@@ -116,3 +116,60 @@ class GitModel(object):
 
     def decode_step(self, params, tokens, cache, dtype=jnp.float32):
         return decode_step(params["textual"], tokens, cache, self.cfg, dtype=dtype)
+
+    # -- generation --------------------------------------------------------
+    def generate(
+        self,
+        params,
+        images,
+        prefix_tokens=None,
+        beam: Optional["BeamSearchConfig"] = None,
+        memory_valid=None,
+        dtype=jnp.float32,
+        sos_id=101,
+        mode="beam",
+        max_steps=None,
+    ):
+        """Caption/answer generation (reference infer, decoder.py:977-1011).
+
+        prefix_tokens: [B, Tp] ([CLS] alone for captioning; [CLS]+question
+        for VQA).  Returns (sequences, logprobs) with the prefix stripped
+        (decoder.py:1004-1006); for beam mode with num_keep_best==1 the
+        keep axis is squeezed like the reference (decoder.py:1288-1289).
+        """
+        from ..decode import BeamSearchConfig, beam_search, greedy_search
+
+        visual = self.encode_images(params, images, dtype)
+        bsz = visual.shape[0]
+        if prefix_tokens is None:
+            prefix_tokens = jnp.full((bsz, 1), sos_id, jnp.int32)
+        tp = prefix_tokens.shape[1]
+        if mode == "beam":
+            beam = beam or BeamSearchConfig()
+            logits, cache = self.prefill(
+                params, visual, prefix_tokens, beam.max_steps, memory_valid, dtype
+            )
+            step = partial_decode_step(self, params, dtype)
+            decoded, logprobs = beam_search(step, logits, cache, prefix_tokens, beam)
+            decoded = decoded[:, :, tp:]
+            if beam.num_keep_best == 1:
+                decoded, logprobs = decoded[:, 0], logprobs[:, 0]
+            return decoded, logprobs
+        elif mode == "greedy":
+            max_steps = max_steps or 40
+            logits, cache = self.prefill(
+                params, visual, prefix_tokens, max_steps, memory_valid, dtype
+            )
+            step = partial_decode_step(self, params, dtype)
+            seqs, logprobs = greedy_search(
+                step, logits, cache, prefix_tokens, max_steps
+            )
+            return seqs[:, tp:], logprobs
+        raise ValueError(mode)
+
+
+def partial_decode_step(model: GitModel, params, dtype):
+    def step(tokens, cache):
+        return model.decode_step(params, tokens, cache, dtype)
+
+    return step

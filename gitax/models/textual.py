@@ -122,9 +122,9 @@ def embed_captions(params, tokens, cfg: GitConfig, position_offset=0):
     """
     e = params["embedding"]
     t = tokens.shape[-1]
-    word = e["words"][tokens]
+    word = jnp.take(e["words"], tokens, axis=0)
     pos_idx = position_offset + jnp.arange(t)
-    pos = e["positions"][pos_idx]
+    pos = jnp.take(e["positions"], pos_idx, axis=0)
     return layer_norm(word + pos, e["ln"], cfg.embedding_ln_eps)
 
 

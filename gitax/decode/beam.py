@@ -42,10 +42,14 @@ class BeamSearchConfig:
     num_beams: int = 4
     per_node_beam_size: int = 2
     length_penalty: float = 0.6
-    max_steps: int = 1024  # loop bound AND length-norm max_length
+    max_steps: int = 1024  # loop bound / sequence buffer length
     num_keep_best: int = 1
     eos_id: int = 102
     repetition_penalty: float = 1.0
+    # length-norm max_length for is_done; the reference couples it to
+    # max_steps (decoder.py:1111-1114) — keep None for parity, set 1024
+    # when using a shorter decode buffer in production
+    norm_max_length: Optional[int] = None
 
 
 def _length_norm(length, alpha):
@@ -128,7 +132,9 @@ def beam_search(
         seen=seen0,
     )
 
-    done_norm = _length_norm(jnp.float32(max_len - 1), alpha)
+    done_norm = _length_norm(
+        jnp.float32((cfg.norm_max_length or max_len) - 1), alpha
+    )
 
     def cond(st):
         return (st["cur_len"] < max_len) & ~jnp.all(st["done"])

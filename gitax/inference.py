@@ -1,0 +1,214 @@
+"""Inference CLI — mirrors the reference's public entry-point surface
+(reference inference.py): the `-p "{'type': <function>, ...}"` YAML
+dispatch convention and the same function names, so reference commands
+run verbatim with the module swapped:
+
+    python -m gitax.inference -p "{'type': 'test_git_inference_single_image',
+        'image_path': 'aux_data/images/1.jpg', 'model_name': 'GIT_BASE',
+        'prefix': ''}"
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os.path as op
+
+import numpy as np
+
+from .common import (
+    dispatch_main,
+    get_mpi_local_rank,
+    get_mpi_rank,
+    get_mpi_size,
+    json_dump,
+    load_from_yaml_file,
+    write_to_file,
+)
+from .io.image import load_image
+from .io.tsv import TSVFile, tsv_reader
+from .preprocess import get_image_transform
+from .tokenization import BertTokenizer
+
+
+def _load_param(model_name):
+    """parameter.yaml for a model: from aux_data/ if present, else the
+    built-in zoo table (reference inference.py:68-70)."""
+    yaml_path = "aux_data/models/{}/parameter.yaml".format(model_name)
+    if op.isfile(yaml_path):
+        return load_from_yaml_file(yaml_path)
+    from .models.config import MODEL_ZOO, get_model_param
+
+    if model_name in MODEL_ZOO:
+        return get_model_param(model_name)
+    return {}
+
+
+def _load_tokenizer():
+    try:
+        return BertTokenizer.bert_base_uncased()
+    except FileNotFoundError:
+        logging.warning(
+            "bert-base-uncased vocab.txt not found; falling back to the "
+            "built-in test vocabulary — decoded text will NOT match the "
+            "published checkpoints"
+        )
+        from .tokenization import build_tiny_vocab
+
+        return BertTokenizer(build_tiny_vocab())
+
+
+def _build_model(model_name, param, dtype=None):
+    """Model + params: converted torch checkpoint when available
+    (output/{model}/snapshot/model.pt, reference inference.py:84-86),
+    else random init with a warning."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ckpt import convert_git_state_dict, load_torch_checkpoint
+    from .models import GitModel
+
+    model = GitModel.from_param(param)
+    ckpt_path = "output/{}/snapshot/model.pt".format(model_name)
+    if op.isfile(ckpt_path):
+        logging.info("loading %s", ckpt_path)
+        params = convert_git_state_dict(load_torch_checkpoint(ckpt_path), model.cfg)
+    else:
+        logging.warning(
+            "checkpoint %s not found; using random init (outputs are "
+            "mechanically valid but not meaningful)",
+            ckpt_path,
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+    if dtype is not None:
+        params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+    return model, params
+
+
+def test_git_inference_single_image(image_path, model_name, prefix=""):
+    """Single image/video caption or QA (reference inference.py:67-109)."""
+    import jax.numpy as jnp
+
+    from .decode import BeamSearchConfig
+
+    param = _load_param(model_name)
+    tokenizer = _load_tokenizer()
+    if isinstance(image_path, str):
+        image_path = [image_path]
+    transform = get_image_transform(param)
+    imgs = np.stack([transform(load_image(p)) for p in image_path])
+
+    model, params = _build_model(model_name, param)
+    if len(image_path) > 1:
+        images = jnp.asarray(imgs)[None]  # [1, F, H, W, 3] video frames
+    else:
+        images = jnp.asarray(imgs)  # [1, H, W, 3]
+
+    max_text_len = 40
+    payload = tokenizer(
+        prefix,
+        padding="do_not_pad",
+        truncation=True,
+        add_special_tokens=False,
+        max_length=max_text_len,
+    )["input_ids"]
+    if len(payload) > max_text_len - 2:
+        payload = payload[-(max_text_len - 2):]
+    input_ids = [tokenizer.cls_token_id] + payload
+
+    beam = BeamSearchConfig(num_beams=4, max_steps=1024)
+    seqs, _ = model.generate(
+        params, images, jnp.asarray([input_ids], jnp.int32), beam=beam
+    )
+    cap = tokenizer.decode(np.asarray(seqs)[0].tolist(), skip_special_tokens=True)
+    logging.info("output: %s", cap)
+    return cap
+
+
+def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
+                                  batch_size=32):
+    """Sharded batch inference over a base64-image TSV
+    (reference inference.py:134-225), batched on device."""
+    import jax.numpy as jnp
+
+    from .decode import BeamSearchConfig
+    from .runtime import CaptionEngine
+
+    param = {}
+    if op.isfile("output/{}/parameter.yaml".format(model_name)):
+        param = load_from_yaml_file("output/{}/parameter.yaml".format(model_name))
+    else:
+        param = _load_param(model_name)
+    tokenizer = _load_tokenizer()
+    model, params = _build_model(model_name, param, dtype=jnp.bfloat16)
+    engine = CaptionEngine(
+        model,
+        params,
+        tokenizer,
+        get_image_transform(param),
+        batch_size=batch_size,
+        beam=BeamSearchConfig(num_beams=4, max_steps=40),
+        dtype=jnp.bfloat16,
+    )
+    rank, world = get_mpi_rank(), get_mpi_size()
+    if question_tsv:
+        engine.run_vqa_tsv(image_tsv, question_tsv, out_tsv, rank, world)
+    else:
+        engine.run_caption_tsv(image_tsv, out_tsv, rank, world)
+
+
+def convert_tsv_to_vqa_json(predict_file, out_json):
+    """(reference inference.py:227-229)"""
+    result = [json.loads(row[0]) for row in tsv_reader(predict_file)]
+    write_to_file(json_dump(result), out_json)
+
+
+def convert_tsv_to_coco_format(res_tsv, outfile, sep="\t", key_col=0, cap_col=1):
+    """(reference inference.py:231-252)"""
+    results = []
+    with open(res_tsv) as fp:
+        for line in fp:
+            parts = line.strip().split(sep)
+            key = parts[key_col]
+            if cap_col < len(parts):
+                caps = json.loads(parts[cap_col]) or [{"caption": ""}]
+                assert len(caps) == 1, "cannot evaluate multiple captions per image"
+                cap = caps[0]["caption"]
+            else:
+                cap = ""
+            results.append({"image_id": key, "caption": cap})
+    with open(outfile, "w") as fp:
+        json.dump(results, fp)
+
+
+def iter_caption_to_json(iter_caption, json_file):
+    """gt caption TSV -> COCO annotation json (reference
+    inference.py:254-275)."""
+    key_captions = [(key, json.loads(p)) for key, p in iter_caption]
+    info = {
+        "info": "dummy",
+        "licenses": "dummy",
+        "type": "captions",
+        "images": [{"file_name": k, "id": k} for k, _ in key_captions],
+    }
+    annotations = []
+    for k, caps in key_captions:
+        for cap in caps:
+            annotations.append(
+                {"image_id": k, "caption": cap["caption"], "id": len(annotations)}
+            )
+    info["annotations"] = annotations
+    write_to_file(json.dumps(info), json_file)
+
+
+def evaluate_on_coco_caption(res_file, label_file, outfile=None):
+    """COCO caption metrics (reference inference.py:277-313).  Uses
+    pycocoevalcap when installed (BLEU/METEOR/ROUGE/CIDEr/SPICE); else
+    gitax's native scorers (BLEU/ROUGE-L/CIDEr-D)."""
+    from .evalcap import evaluate_on_coco_caption as _eval
+
+    return _eval(res_file, label_file, outfile)
+
+
+if __name__ == "__main__":
+    dispatch_main(globals())

@@ -1,0 +1,267 @@
+"""Batched TSV inference runtime.
+
+The reference's distributed batch inference (inference.py:134-225) runs
+batch-size-1 forwards and scales by mpirun process count, with a
+filesystem barrier.  The gitax engine is TPU-native:
+
+  * rows are range-sharded per process exactly like the reference
+    (ceil(N/W) contiguous rows per rank, inference.py:157-169), so
+    multi-host runs stay embarrassingly parallel over hosts,
+  * within a host, images are decoded/preprocessed by a host thread pool
+    that PREFETCHES ahead of the device, and captions run as one jitted
+    batched beam search per fixed-size batch (padded at the tail) — the
+    device never waits on Python between steps,
+  * VQA prefixes are BUCKETED by token length so every compiled program
+    sees a static [B, Tp] shape (the reference simply asserts B == 1,
+    decoder.py:988),
+  * per-rank output shards and the rank-0 wait+concat barrier keep the
+    reference's on-disk contract (out.{rank}.{world}.tsv,
+    inference.py:213-225).
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import logging
+import os.path as op
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..common import json_dump
+from ..decode import BeamSearchConfig
+from ..io.image import image_from_base64
+from ..io.tsv import TSVFile, concat_tsv_files, tsv_writer
+from ..models.git import GitModel
+
+
+def shard_range(total: int, rank: int, world_size: int) -> Tuple[int, int]:
+    """Contiguous ceil-split row range (reference inference.py:165-169)."""
+    per = (total + world_size - 1) // world_size
+    start = per * rank
+    return start, min(start + per, total)
+
+
+def wait_and_concat_shards(out_tsv: str, world_size: int, poll_s: float = 5.0,
+                           timeout_s: Optional[float] = None):
+    """Rank-0 filesystem barrier + concat (reference inference.py:214-225),
+    with an optional timeout instead of the reference's infinite wait."""
+    shards = [
+        "{}.{}.{}.tsv".format(out_tsv, r, world_size) for r in range(world_size)
+    ]
+    deadline = None if timeout_s is None else time.time() + timeout_s
+    while True:
+        missing = [s for s in shards if not op.isfile(s)]
+        if not missing:
+            break
+        if deadline and time.time() > deadline:
+            raise TimeoutError("missing shards: {}".format(missing))
+        logging.info("waiting for %s", ",".join(missing))
+        time.sleep(poll_s)
+    concat_tsv_files(shards, out_tsv)
+
+
+class CaptionEngine(object):
+    """Batched caption/VQA engine around a GitModel."""
+
+    def __init__(
+        self,
+        model: GitModel,
+        params,
+        tokenizer,
+        transform,
+        batch_size: int = 32,
+        beam: Optional[BeamSearchConfig] = None,
+        dtype=jnp.bfloat16,
+        max_text_len: int = 40,
+        decode_workers: int = 8,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.transform = transform
+        self.batch_size = batch_size
+        self.beam = beam or BeamSearchConfig(num_beams=4, max_steps=40)
+        self.dtype = dtype
+        self.max_text_len = max_text_len
+        self.pool = ThreadPoolExecutor(max_workers=decode_workers)
+        self._jitted = {}
+
+    # -- compiled programs, one per (prefix_len, image_hw) ---------------
+    def _caption_fn(self, prefix_len: int, hw):
+        key = (prefix_len, hw)
+        if key not in self._jitted:
+            model, dtype = self.model, self.dtype
+            # buffer sized per prefix bucket; length-norm keeps the
+            # reference's 1024 constant for is_done parity
+            import dataclasses
+
+            beam = dataclasses.replace(
+                self.beam,
+                max_steps=max(self.beam.max_steps, prefix_len + self.max_text_len),
+                norm_max_length=self.beam.norm_max_length
+                or max(self.beam.max_steps, 1024),
+            )
+
+            @jax.jit
+            def fn(params, images, prefix):
+                return model.generate(params, images, prefix, beam=beam, dtype=dtype)
+
+            self._jitted[key] = fn
+        return self._jitted[key]
+
+    # -- host-side preprocessing ------------------------------------------
+    def _decode_row(self, b64):
+        img = image_from_base64(b64)
+        if img is None:
+            return None
+        return self.transform(img)
+
+    def encode_prefix(self, text: str) -> List[int]:
+        """[CLS] + last (max_text_len-2) question tokens
+        (reference inference.py:92-101)."""
+        payload = self.tokenizer(
+            text,
+            padding="do_not_pad",
+            truncation=True,
+            add_special_tokens=False,
+            max_length=self.max_text_len,
+        )["input_ids"]
+        if len(payload) > self.max_text_len - 2:
+            payload = payload[-(self.max_text_len - 2):]
+        return [self.tokenizer.cls_token_id] + payload
+
+    # -- batched generate --------------------------------------------------
+    def generate_batch(self, images: List[np.ndarray], prefixes: List[List[int]]):
+        """images: list of HWC arrays (same shape); prefixes: same length
+        each.  Returns list of decoded strings."""
+        n = len(images)
+        assert n > 0
+        b = self.batch_size
+        tp = len(prefixes[0])
+        assert all(len(p) == tp for p in prefixes)
+        pad_n = (-n) % b
+        imgs = np.stack(images + [images[-1]] * pad_n).astype(np.float32)
+        pref = np.asarray(prefixes + [prefixes[-1]] * pad_n, np.int32)
+        outs = []
+        fn = self._caption_fn(tp, imgs.shape[1:3])
+        for i in range(0, len(imgs), b):
+            seqs, _ = fn(
+                self.params,
+                jnp.asarray(imgs[i : i + b], self.dtype),
+                jnp.asarray(pref[i : i + b]),
+            )
+            outs.append(np.asarray(seqs))
+        seqs = np.concatenate(outs, axis=0)[:n]
+        return [
+            self.tokenizer.decode(s.tolist(), skip_special_tokens=True) for s in seqs
+        ]
+
+    # -- TSV caption pipeline ---------------------------------------------
+    def run_caption_tsv(self, image_tsv_path, out_tsv, rank=0, world_size=1):
+        image_tsv = TSVFile(image_tsv_path)
+        start, end = shard_range(len(image_tsv), rank, world_size)
+        cur_out = (
+            "{}.{}.{}.tsv".format(out_tsv, rank, world_size)
+            if world_size > 1
+            else out_tsv
+        )
+        cls = self.tokenizer.cls_token_id
+
+        def rows():
+            idxs = list(range(start, end))
+            b = self.batch_size
+            # prefetch decode of batch i+1 while the device runs batch i
+            futures = collections.deque()
+
+            def submit(batch_idxs):
+                futures.append(
+                    (
+                        batch_idxs,
+                        [
+                            self.pool.submit(self._decode_row, image_tsv[j][1])
+                            for j in batch_idxs
+                        ],
+                    )
+                )
+
+            chunks = [idxs[i : i + b] for i in range(0, len(idxs), b)]
+            for c in chunks[:2]:
+                submit(c)
+            ci = 2
+            while futures:
+                batch_idxs, futs = futures.popleft()
+                arrs, keys = [], []
+                for j, f in zip(batch_idxs, futs):
+                    a = f.result()
+                    if a is not None:
+                        arrs.append(a)
+                        keys.append(image_tsv.get_key(j))
+                if ci < len(chunks):
+                    submit(chunks[ci])
+                    ci += 1
+                if not arrs:
+                    continue
+                caps = self.generate_batch(arrs, [[cls]] * len(arrs))
+                for k, cap in zip(keys, caps):
+                    yield k, json_dump([{"caption": cap}])
+
+        tsv_writer(rows(), cur_out)
+        if world_size > 1 and rank == 0:
+            wait_and_concat_shards(out_tsv, world_size)
+
+    # -- TSV VQA pipeline ---------------------------------------------------
+    def run_vqa_tsv(self, image_tsv_path, question_tsv_path, out_tsv,
+                    rank=0, world_size=1):
+        image_tsv = TSVFile(image_tsv_path)
+        question_tsv = TSVFile(question_tsv_path)
+        assert len(image_tsv) == len(question_tsv)
+        start, end = shard_range(len(image_tsv), rank, world_size)
+        cur_out = (
+            "{}.{}.{}.tsv".format(out_tsv, rank, world_size)
+            if world_size > 1
+            else out_tsv
+        )
+
+        def rows():
+            # gather (image_idx, question) pairs, bucket by prefix length
+            buckets = collections.defaultdict(list)  # tp -> [(img_idx, qid, prefix)]
+            for i in range(start, end):
+                ik = image_tsv.get_key(i)
+                qrow = question_tsv[i]
+                assert ik == qrow[0], (ik, qrow[0])  # key alignment (inference.py:176)
+                for q in json.loads(qrow[1]):
+                    prefix = self.encode_prefix(q["question"])
+                    buckets[len(prefix)].append((i, q["question_id"], prefix))
+            for tp in sorted(buckets):
+                items = buckets[tp]
+                b = self.batch_size
+                for off in range(0, len(items), b):
+                    chunk = items[off : off + b]
+                    arrs = [
+                        self.pool.submit(self._decode_row, image_tsv[i][1])
+                        for i, _, _ in chunk
+                    ]
+                    arrs = [f.result() for f in arrs]
+                    keep = [
+                        (a, qid, p)
+                        for a, (_, qid, p) in zip(arrs, chunk)
+                        if a is not None
+                    ]
+                    if not keep:
+                        continue
+                    answers = self.generate_batch(
+                        [a for a, _, _ in keep], [p for _, _, p in keep]
+                    )
+                    for (_, qid, _), ans in zip(keep, answers):
+                        yield (json_dump({"answer": ans, "question_id": qid}),)
+
+        tsv_writer(rows(), cur_out)
+        if world_size > 1 and rank == 0:
+            wait_and_concat_shards(out_tsv, world_size)

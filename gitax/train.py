@@ -1,0 +1,116 @@
+"""Training CLI — mirrors the reference's entry surface (train.py):
+
+    python -m gitax.train -p "{'type': 'forward_backward_example',
+        'image_files': [...], 'captions': [...]}"
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from .common import dispatch_main
+from .io.image import load_image
+from .preprocess.train_transforms import (
+    TrainTransform,
+    collate_samples,
+    make_caption_sample,
+)
+
+
+def _tokenizer():
+    from .inference import _load_tokenizer
+
+    return _load_tokenizer()
+
+
+def _build_batch(image_files, captions, prefixs, tokenizer, iteration=0, seed=0):
+    transform = TrainTransform(seed=seed)
+    samples = [
+        make_caption_sample(
+            tokenizer, load_image(f), p, t, transform, iteration=iteration
+        )
+        for f, p, t in zip(image_files, prefixs, captions)
+    ]
+    return collate_samples(samples)
+
+
+def forward_backward_example(image_files, captions, prefixs=None):
+    """One fwd+bwd step with the GIT_BASE recipe (reference
+    train.py:209-244)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .models import GitModel
+    from .training import init_train_state, make_train_step
+
+    prefixs = prefixs or [""] * len(captions)
+    tokenizer = _tokenizer()
+    batch = _build_batch(image_files, captions, prefixs, tokenizer)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = GitModel.from_param({})
+    tx = optax.adamw(1e-5)
+    state = init_train_state(model, jax.random.PRNGKey(0), tx)
+    step = jax.jit(make_train_step(model, tx))
+    state, metrics = step(state, batch)
+    logging.info("loss = %s", float(metrics["loss"]))
+    return float(metrics["loss"])
+
+
+def speed_test_forward_backward(duplicate=32, iterations=1000, dtype="bfloat16"):
+    """Throughput of the train step, batch 64, reduced precision
+    (reference train.py:246-303 used fp16 on GPU; bf16 is the TPU
+    equivalent)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .models import GitModel
+    from .training import init_train_state, make_train_step
+
+    import os.path as op
+
+    img_dir = (
+        "aux_data/images"
+        if op.isfile("aux_data/images/1.jpg")
+        else "/root/reference/aux_data/images"
+    )
+    image_files = [op.join(img_dir, "1.jpg"), op.join(img_dir, "2.jpg")] * duplicate
+    captions = [
+        "a couple of boats in a large body of water.",
+        "a view of a mountain with a tree",
+    ] * duplicate
+    tokenizer = _tokenizer()
+    batch = _build_batch(image_files, captions, [""] * len(captions), tokenizer)
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch["image"] = batch["image"].astype(compute_dtype)
+
+    model = GitModel.from_param({})
+    tx = optax.adamw(1e-5)
+    state = init_train_state(model, jax.random.PRNGKey(0), tx)
+    step = jax.jit(make_train_step(model, tx, dtype=compute_dtype))
+
+    # warmup
+    for _ in range(2):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    bsz = batch["image"].shape[0]
+    start = time.time()
+    for iteration in range(iterations):
+        state, metrics = step(state, batch)
+        if iteration % 10 == 0 and iteration > 0:
+            jax.block_until_ready(metrics["loss"])
+            end = time.time()
+            logging.info("speed = %s images/s", bsz * 10 / (end - start))
+            start = time.time()
+    logging.info("final loss %s", float(metrics["loss"]))
+
+
+if __name__ == "__main__":
+    dispatch_main(globals())

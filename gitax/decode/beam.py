@@ -57,25 +57,36 @@ def _length_norm(length, alpha):
     return ((5.0 + length) ** alpha) / (6.0 ** alpha)
 
 
+def _top_k_iterative(x, k):
+    """Exact top-k by k sequential argmax passes (ties -> lowest index,
+    like a stable descending sort).
+
+    For small k over a huge axis (here 2*num_beams over num_beams*vocab
+    ~ 122k) this is k cheap VPU reductions instead of lax.top_k's
+    sort-based kernel — the single biggest cost in the beam-search step
+    on TPU.
+    """
+    b, n = x.shape
+    rows = jnp.arange(b)
+    vals, idxs = [], []
+    cur = x
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        v = jnp.take_along_axis(cur, i[:, None], axis=-1)[:, 0]
+        vals.append(v)
+        idxs.append(i)
+        cur = cur.at[rows, i].set(-jnp.inf)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def _tile_beams(cache: KVCache, num_beams: int) -> KVCache:
-    """Expand a batch-B cache to B*num_beams (beams share memory K/V)."""
-
-    def rep(x):
-        if x is None:
-            return None
-        return jnp.repeat(x, num_beams, axis=1)
-
-    return KVCache(
-        mem_k=rep(cache.mem_k),
-        mem_v=rep(cache.mem_v),
-        txt_k=rep(cache.txt_k),
-        txt_v=rep(cache.txt_v),
-        memory_valid=(
-            None
-            if cache.memory_valid is None
-            else jnp.repeat(cache.memory_valid, num_beams, axis=0)
-        ),
-        length=cache.length,
+    """Expand the TEXT cache to B*num_beams.  Memory K/V (and its
+    validity mask) stay at batch B — beams of one element share them, and
+    decode_step broadcasts attention over the beam axis instead of
+    paying beam-tiled memory-K/V HBM traffic every step."""
+    return cache._replace(
+        txt_k=jnp.repeat(cache.txt_k, num_beams, axis=1),
+        txt_v=jnp.repeat(cache.txt_v, num_beams, axis=1),
     )
 
 
@@ -160,7 +171,7 @@ def beam_search(
         flat = (logprobs.reshape(b, k, v) + st["beam_scores"][:, :, None]).reshape(
             b, k * v
         )
-        next_scores, next_idx = jax.lax.top_k(flat, c)  # sorted desc
+        next_scores, next_idx = _top_k_iterative(flat, c)  # sorted desc
         beam_id = next_idx // v
         word_id = next_idx % v
 

@@ -53,18 +53,23 @@ class GitModel(object):
         return params
 
     # -- encoder ---------------------------------------------------------
-    def encode_images(self, params, images, dtype=jnp.float32):
+    def encode_images(self, params, images, dtype=jnp.float32, flash=None):
         """images: [B,H,W,3] single image, or [B,F,H,W,3] video frames.
 
         Video frames are encoded per frame, each offset by its learned
         temporal embedding, then concatenated on the token axis
-        (decoder.py:846-851).
+        (decoder.py:846-851).  flash: None = auto (Pallas kernel on TPU;
+        inference only — pass False on differentiated paths).
         """
         if images.ndim == 4:
-            return vit_forward(params["image_encoder"], images, self.cfg.encoder, dtype)
+            return vit_forward(
+                params["image_encoder"], images, self.cfg.encoder, dtype, flash=flash
+            )
         b, f = images.shape[:2]
         flat = images.reshape((b * f,) + images.shape[2:])
-        feats = vit_forward(params["image_encoder"], flat, self.cfg.encoder, dtype)
+        feats = vit_forward(
+            params["image_encoder"], flat, self.cfg.encoder, dtype, flash=flash
+        )
         feats = feats.reshape(b, f, feats.shape[1], feats.shape[2])
         if self.cfg.num_image_with_embedding:
             emb = params["img_temporal_embedding"][:f].astype(feats.dtype)
@@ -82,8 +87,9 @@ class GitModel(object):
         dtype=jnp.float32,
     ):
         """[B,T] caption logits given images; the training/teacher-forcing
-        path (decoder.py:926-932)."""
-        visual = self.encode_images(params, images, dtype)
+        path (decoder.py:926-932).  Uses the differentiable XLA attention
+        (no Pallas) so it is safe under jax.grad."""
+        visual = self.encode_images(params, images, dtype, flash=False)
         return textual_forward(
             params["textual"],
             visual,

@@ -74,14 +74,22 @@ def qkv_project(x, params, num_heads):
     return tuple(split_heads(t, num_heads) for t in (q, k, v))
 
 
-def self_attention(x, params, num_heads, mask=None):
+def self_attention(x, params, num_heads, mask=None, flash=False):
     """Multi-head self-attention with fused-qkv parameters.
 
     params: {'qkv': {'kernel' [D,3D], 'bias' [3D]}, 'out': {'kernel'
     [D,D], 'bias' [D]}}.  Both GIT towers are self-attention over one
-    (possibly combined [memory;text]) sequence.
+    (possibly combined [memory;text]) sequence.  flash=True routes the
+    unmasked case through the Pallas fused kernel (TPU inference path).
     """
     q, k, v = qkv_project(x, params, num_heads)
-    probs = attention_weights(q, k, mask).astype(v.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
+    if flash and mask is None:
+        from ..ops.flash_attention import fused_attention
+
+        ctx = fused_attention(q, k, v)
+    else:
+        probs = attention_weights(q, k, mask).astype(v.dtype)
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype
+        )
     return linear(merge_heads(ctx), params["out"])

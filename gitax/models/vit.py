@@ -80,9 +80,9 @@ def init_vit_params(key, cfg: ViTConfig, dtype=jnp.float32):
     }
 
 
-def _block(x, bp, num_heads, ln_eps):
+def _block(x, bp, num_heads, ln_eps, flash=False):
     h1 = layer_norm(x, bp["ln_1"], ln_eps)
-    x = x + self_attention(h1, bp["attn"], num_heads)
+    x = x + self_attention(h1, bp["attn"], num_heads, flash=flash)
     h = layer_norm(x, bp["ln_2"], ln_eps)
     h = linear(quick_gelu(linear(h, bp["mlp"]["c_fc"])), bp["mlp"]["c_proj"])
     return x + h
@@ -100,11 +100,18 @@ def _pos_embed_for(params, cfg: ViTConfig, gh, gw, dtype):
     return jnp.concatenate([pos[:1], resized.astype(dtype)], axis=0)
 
 
-def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32):
+def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None):
     """images [B, H, W, 3] (NHWC, normalized) -> tokens [B, 1+gh*gw, width].
 
     Cites decoder.py:846-857 for how GIT consumes the full token grid.
+    flash=True opts into the Pallas fused-attention kernel (inference
+    only).  Default is the XLA path: measured on v5e, XLA's attention
+    already runs the encoder at the chip's practical matmul roofline
+    (~23 TFLOPS delivered), and the Pallas kernel was ~15% slower at
+    GIT's T=257/Dh=64 shapes — see bench notes.
     """
+    if flash is None:
+        flash = False
     b, h, w, c = images.shape
     p = cfg.patch_size
     assert h % p == 0 and w % p == 0, (h, w, p)
@@ -123,7 +130,7 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32):
     x = layer_norm(x, params["ln_pre"], cfg.ln_eps)
 
     def scan_fn(carry, bp):
-        return _block(carry, bp, cfg.heads, cfg.ln_eps), None
+        return _block(carry, bp, cfg.heads, cfg.ln_eps, flash=flash), None
 
     x, _ = jax.lax.scan(scan_fn, x, params["blocks"])
     return layer_norm(x, params["ln_post"], cfg.ln_eps)

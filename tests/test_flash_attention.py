@@ -1,0 +1,68 @@
+"""Pallas fused-attention kernel vs the XLA reference (interpret mode on
+CPU; the same kernel compiles natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gitax.models.textual import build_unified_mask
+from gitax.ops.flash_attention import attention_xla, fused_attention
+
+
+def rand_qkv(b, h, t, d, seed=0):
+    rng = np.random.RandomState(seed)
+    return tuple(
+        jnp.asarray(rng.randn(b, h, t, d), jnp.float32) for _ in range(3)
+    )
+
+
+@pytest.mark.parametrize("t", [257, 128, 30])
+def test_full_attention_parity(t):
+    q, k, v = rand_qkv(2, 3, t, 64)
+    ref = attention_xla(q, k, v)
+    out = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_git_mask_parity():
+    """Kernel-generated block mask == build_unified_mask."""
+    m, tt = 5, 7
+    t = m + tt
+    q, k, v = rand_qkv(2, 2, t, 64, seed=1)
+    mask = build_unified_mask(m, tt, batch=2)
+    ref = attention_xla(q, k, v, mask=mask)
+    out = fused_attention(q, k, v, num_memory=m, masked=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_path():
+    q, k, v = rand_qkv(1, 2, 40, 64)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = fused_attention(qb, kb, vb, interpret=True)
+    ref = attention_xla(qb, kb, vb)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_vit_forward_flash_flag_matches():
+    """vit_forward(flash=True via interpret) == flash=False."""
+    from gitax.models.config import ViTConfig
+    from gitax.models.vit import init_vit_params, vit_forward
+    import gitax.ops.flash_attention as fa
+
+    cfg = ViTConfig(16, 64, 2, 2, 32)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3), jnp.float32)
+    ref = vit_forward(params, img, cfg, flash=False)
+
+    orig = fa.fused_attention
+    try:
+        fa.fused_attention = lambda q, k, v, **kw: orig(q, k, v, interpret=True, **kw)
+        out = vit_forward(params, img, cfg, flash=True)
+    finally:
+        fa.fused_attention = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -237,6 +237,69 @@ def convert_textual_state_dict(sd, cfg: GitConfig, prefix="textual."):
     }
 
 
+def infer_visual_config(sd, prefix="visual."):
+    """Infer the visual-tower architecture from state-dict shapes, like
+    the reference's build_model (CLIP/model.py:402-425).  Returns
+    ('vit', ViTConfig) or ('resnet', ResNetConfig)."""
+    if prefix + "conv1.weight" in sd and any(
+        k.startswith(prefix + "transformer.") for k in sd
+    ):
+        conv = sd[prefix + "conv1.weight"]
+        width = conv.shape[0]
+        patch = conv.shape[-1]
+        grid = int(round((sd[prefix + "positional_embedding"].shape[0] - 1) ** 0.5))
+        block_re = re.compile(
+            re.escape(prefix) + r"transformer\.resblocks\.(\d+)\."
+        )
+        layers = len({m.group(1) for k in sd if (m := block_re.match(k))})
+        return "vit", ViTConfig(
+            patch_size=int(patch),
+            width=int(width),
+            layers=layers,
+            heads=int(width) // 64,
+            input_resolution=int(patch * grid),
+        )
+    from ..models.resnet import ResNetConfig
+
+    counts = tuple(
+        len(
+            {
+                m.group(1)
+                for k in sd
+                if (
+                    m := re.match(
+                        re.escape(prefix) + r"layer{}\.(\d+)\.".format(i), k
+                    )
+                )
+            }
+        )
+        for i in (1, 2, 3, 4)
+    )
+    width = sd[prefix + "layer1.0.conv1.weight"].shape[0]
+    out_grid = int(
+        round((sd[prefix + "attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+    )
+    out_dim = sd[prefix + "attnpool.c_proj.weight"].shape[0]
+    return "resnet", ResNetConfig(
+        layers=counts,
+        width=int(width),
+        output_dim=int(out_dim),
+        heads=int(width) * 32 // 64,
+        input_resolution=out_grid * 32,
+    )
+
+
+def load_clip_visual(sd, prefix="visual."):
+    """CLIP checkpoint -> (kind, config, gitax params) for the visual
+    tower, auto-detecting ViT vs ModifiedResNet."""
+    kind, cfg = infer_visual_config(sd, prefix)
+    if kind == "vit":
+        return kind, cfg, convert_vit_state_dict(sd, cfg, prefix=prefix)
+    from ..models.resnet import convert_resnet_state_dict
+
+    return kind, cfg, convert_resnet_state_dict(sd, cfg, prefix=prefix)
+
+
 def convert_git_state_dict(sd, cfg: GitConfig):
     """Full GIT checkpoint -> {'image_encoder', 'textual',
     'img_temporal_embedding'?} pytree."""

@@ -275,6 +275,76 @@ def get_mpi_local_rank():
 
 
 # ---------------------------------------------------------------------------
+# file-lock + retry IO helpers (reference common.py:228-270): exclusive
+# locks around reads guard against concurrent-mount (blobfuse-style)
+# races; retry-with-jitter absorbs transient storage failures.
+# ---------------------------------------------------------------------------
+
+
+def acquire_lock(lock_file="/tmp/gitax_lockfile.LOCK"):
+    import fcntl
+
+    ensure_directory(op.dirname(lock_file))
+    fd = open(lock_file, "w+")
+    fcntl.lockf(fd, fcntl.LOCK_EX)
+    return fd
+
+
+def release_lock(fd):
+    fd.close()
+
+
+def limited_retry_agent(num, func, *args, **kwargs):
+    """Call func, retrying up to num times with random sleep
+    (reference common.py:239-254)."""
+    import random
+    import time
+
+    for i in range(num):
+        try:
+            return func(*args, **kwargs)
+        except Exception as e:
+            logging.warning("attempt %d/%d failed: %s", i + 1, num, e)
+            if i == num - 1:
+                raise
+            time.sleep(random.random() * 5)
+
+
+def exclusive_open_to_read(fname, mode="r"):
+    """Open under an exclusive per-file lock unless
+    GITAX_DISABLE_EXCLUSIVE_READ is set (reference common.py:256-270)."""
+    disable = os.environ.get(
+        "GITAX_DISABLE_EXCLUSIVE_READ", os.environ.get("QD_DISABLE_EXCLUSIVE_READ_BY_LOCK")
+    )
+    lock_fd = None
+    if not (disable and int(disable)):
+        lock_fd = acquire_lock(
+            op.join("/tmp", "gitax_lock_{}".format(hash_sha1(fname)))
+        )
+    try:
+        return limited_retry_agent(10, open, fname, mode)
+    finally:
+        if lock_fd is not None:
+            release_lock(lock_fd)
+
+
+def progress(iterable, desc="", mininterval=2):
+    """tqdm wrapper stamping the caller's file:line into the description
+    (reference qd_tqdm, common.py:379-398)."""
+    import inspect
+
+    from tqdm import tqdm
+
+    frame = inspect.currentframe().f_back
+    message = "{}:{}".format(op.basename(frame.f_code.co_filename), frame.f_lineno)
+    return tqdm(
+        iterable,
+        desc="{} {}".format(message, desc).strip(),
+        mininterval=mininterval,
+    )
+
+
+# ---------------------------------------------------------------------------
 # small file/json helpers
 # ---------------------------------------------------------------------------
 

@@ -50,11 +50,45 @@ class BeamSearchConfig:
     # max_steps (decoder.py:1111-1114) — keep None for parity, set 1024
     # when using a shorter decode buffer in production
     norm_max_length: Optional[int] = None
+    # sampling (decoder.py:1146-1166): per-node multinomial draws without
+    # replacement (Gumbel top-k) after temperature + top-k/top-p filtering
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: Optional[float] = None
 
 
 def _length_norm(length, alpha):
     """((5+len)/6)^alpha — OpenNMT norm (decoder.py:1310-1313)."""
     return ((5.0 + length) ** alpha) / (6.0 ** alpha)
+
+
+def top_k_top_p_filter(logits, top_k=0, top_p=None, min_tokens_to_keep=1,
+                       filter_value=-jnp.inf):
+    """Top-k / nucleus filtering (reference decoder.py:1343-1375)."""
+    v = logits.shape[-1]
+    if top_k and top_k > 0:
+        k = min(max(top_k, min_tokens_to_keep), v)
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
+        logits = jnp.where(logits < kth, filter_value, logits)
+    if top_p is not None and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (shifted right so
+        # the first token above the threshold is kept), always keeping
+        # min_tokens_to_keep
+        remove_sorted = cum > top_p
+        remove_sorted = jnp.concatenate(
+            [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]],
+            axis=-1,
+        )
+        if min_tokens_to_keep > 1:
+            remove_sorted = remove_sorted.at[..., :min_tokens_to_keep].set(False)
+        # threshold value: smallest kept logit
+        kept = jnp.where(remove_sorted, jnp.inf, sorted_logits)
+        thresh = jnp.min(kept, axis=-1, keepdims=True)
+        logits = jnp.where(logits < thresh, filter_value, logits)
+    return logits
 
 
 def _top_k_iterative(x, k):
@@ -96,6 +130,7 @@ def beam_search(
     cache: KVCache,  # batch-B cache from prefill
     prefix_tokens,  # [B, Tp]
     cfg: BeamSearchConfig,
+    rng=None,  # PRNG key, required when cfg.do_sample
 ):
     """Run the search. Returns (decoded [B, N, max_steps] int32,
     logprobs [B, N] f32).  Sequences include the prefix (the caller
@@ -107,6 +142,10 @@ def beam_search(
     k = cfg.num_beams
     n = cfg.num_keep_best
     c = cfg.per_node_beam_size * k  # candidates per batch element
+    if cfg.do_sample:
+        assert rng is not None, "do_sample requires a PRNG key"
+    else:
+        rng = jax.random.PRNGKey(0)  # unused; keeps state structure static
     v = prefill_logits.shape[-1]
     max_len = cfg.max_steps
     alpha = cfg.length_penalty
@@ -141,6 +180,7 @@ def beam_search(
         logits=logits0,
         cache=cache,
         seen=seen0,
+        rng=rng,
     )
 
     done_norm = _length_norm(
@@ -167,11 +207,39 @@ def beam_search(
                 logits,
             )
             logits = pen
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        flat = (logprobs.reshape(b, k, v) + st["beam_scores"][:, :, None]).reshape(
-            b, k * v
-        )
-        next_scores, next_idx = _top_k_iterative(flat, c)  # sorted desc
+        rng_cur = st["rng"]
+        if cfg.do_sample:
+            # sampling path (decoder.py:1146-1166): temperature ->
+            # top-k/top-p filter -> per-beam multinomial WITHOUT
+            # replacement (Gumbel top-k is equivalent); candidate scores
+            # are log-softmax of the filtered logits plus the beam score.
+            # NOTE: the reference mislabels parent beams here (its
+            # `beam_indices` tiling is [0..K-1]*P while the sampled words
+            # are beam-major); we label parents correctly.
+            lt = logits / cfg.temperature if cfg.temperature != 1.0 else logits
+            lt = top_k_top_p_filter(
+                lt, cfg.top_k, cfg.top_p, min_tokens_to_keep=2
+            )
+            rng_cur, sub = jax.random.split(rng_cur)
+            gumbel = jax.random.gumbel(sub, lt.shape, jnp.float32)
+            _, words = jax.lax.top_k(
+                jnp.where(jnp.isfinite(lt), lt + gumbel, -jnp.inf),
+                cfg.per_node_beam_size,
+            )  # [BK, P]
+            lp = jax.nn.log_softmax(lt, axis=-1)
+            samp_lp = jnp.take_along_axis(lp, words, axis=1)  # [BK, P]
+            next_scores = (
+                samp_lp.reshape(b, k, cfg.per_node_beam_size)
+                + st["beam_scores"][:, :, None]
+            ).reshape(b, c)
+            beam_of = jnp.repeat(jnp.arange(k), cfg.per_node_beam_size)
+            next_idx = words.reshape(b, c) + (beam_of * v)[None, :]
+        else:
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+            flat = (
+                logprobs.reshape(b, k, v) + st["beam_scores"][:, :, None]
+            ).reshape(b, k * v)
+            next_scores, next_idx = _top_k_iterative(flat, c)  # sorted desc
         beam_id = next_idx // v
         word_id = next_idx % v
 
@@ -257,6 +325,7 @@ def beam_search(
             logits=step_logits.astype(jnp.float32),
             cache=cache_new,
             seen=st["seen"],
+            rng=rng_cur,
         )
         if cfg.repetition_penalty != 1.0:
             seen_re = jnp.take(st["seen"], flat_parents, axis=0)

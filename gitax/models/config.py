@@ -61,6 +61,9 @@ class GitConfig:
     max_caption_length: int = 1024
     padding_idx: int = 0
     num_image_with_embedding: int = 0  # >0: video frames w/ temporal embs
+    # None: token-axis concat of frames; 'avg': mean-pool frames
+    # (decoder.py:850-853)
+    pooling_images: Optional[str] = None
     # layer-norm epsilons (parity-relevant; see SURVEY.md hard-part 5)
     bert_ln_eps: float = 1e-12
     embedding_ln_eps: float = 1e-8

@@ -74,7 +74,32 @@ class GitModel(object):
         if self.cfg.num_image_with_embedding:
             emb = params["img_temporal_embedding"][:f].astype(feats.dtype)
             feats = feats + emb[None, :, None, :]
+        if self.cfg.pooling_images == "avg":
+            return feats.mean(axis=1)
+        assert self.cfg.pooling_images is None, self.cfg.pooling_images
         return feats.reshape(b, f * feats.shape[2], feats.shape[3])
+
+    def append_text_context(self, params, visual, context_tokens, context_lengths,
+                            dtype=jnp.float32):
+        """Concat embedded text context onto the visual memory with a
+        validity mask (reference batch['context'] path,
+        decoder.py:861-871).  The reference embeds context with the
+        decoder's word embedding and concatenates it to the RAW visual
+        features before the visual projection — which only type-checks
+        when visual_feature_size == hidden_size (GIT_BASE); we keep that
+        constraint.  Returns (memory [B, M+Tc, D], memory_valid [B, M+Tc])."""
+        from .textual import embed_captions
+
+        assert self.cfg.visual_feature_size == self.cfg.hidden_size, (
+            "text context requires visual_feature_size == hidden_size "
+            "(as in the reference, decoder.py:863-870)"
+        )
+        b, tc = context_tokens.shape
+        ctx = embed_captions(params["textual"], context_tokens, self.cfg).astype(dtype)
+        memory = jnp.concatenate([visual.astype(dtype), ctx], axis=1)
+        visual_valid = jnp.ones((b, visual.shape[1]), bool)
+        ctx_valid = jnp.arange(tc)[None, :] < context_lengths[:, None]
+        return memory, jnp.concatenate([visual_valid, ctx_valid], axis=1)
 
     # -- training forward -------------------------------------------------
     def forward_logits(
@@ -135,6 +160,8 @@ class GitModel(object):
         sos_id=101,
         mode="beam",
         max_steps=None,
+        num_return_sequences=1,
+        rng=None,
     ):
         """Caption/answer generation (reference infer, decoder.py:977-1011).
 
@@ -142,6 +169,8 @@ class GitModel(object):
         for VQA).  Returns (sequences, logprobs) with the prefix stripped
         (decoder.py:1004-1006); for beam mode with num_keep_best==1 the
         keep axis is squeezed like the reference (decoder.py:1288-1289).
+        num_return_sequences>1 replicates each input R times on the batch
+        axis (decoder.py:1093-1096) — outputs stay flat [B*R, ...].
         """
         from ..decode import BeamSearchConfig, beam_search, greedy_search
 
@@ -149,6 +178,11 @@ class GitModel(object):
         bsz = visual.shape[0]
         if prefix_tokens is None:
             prefix_tokens = jnp.full((bsz, 1), sos_id, jnp.int32)
+        if num_return_sequences > 1:
+            visual = jnp.repeat(visual, num_return_sequences, axis=0)
+            prefix_tokens = jnp.repeat(prefix_tokens, num_return_sequences, axis=0)
+            if memory_valid is not None:
+                memory_valid = jnp.repeat(memory_valid, num_return_sequences, axis=0)
         tp = prefix_tokens.shape[1]
         if mode == "beam":
             beam = beam or BeamSearchConfig()
@@ -156,7 +190,9 @@ class GitModel(object):
                 params, visual, prefix_tokens, beam.max_steps, memory_valid, dtype
             )
             step = partial_decode_step(self, params, dtype)
-            decoded, logprobs = beam_search(step, logits, cache, prefix_tokens, beam)
+            decoded, logprobs = beam_search(
+                step, logits, cache, prefix_tokens, beam, rng=rng
+            )
             decoded = decoded[:, :, tp:]
             if beam.num_keep_best == 1:
                 decoded, logprobs = decoded[:, 0], logprobs[:, 0]

@@ -81,6 +81,7 @@ class CaptionEngine(object):
         dtype=jnp.bfloat16,
         max_text_len: int = 40,
         decode_workers: int = 8,
+        use_native: Optional[bool] = None,
     ):
         self.model = model
         self.params = params
@@ -92,6 +93,17 @@ class CaptionEngine(object):
         self.max_text_len = max_text_len
         self.pool = ThreadPoolExecutor(max_workers=decode_workers)
         self._jitted = {}
+        # native C++ decode path: only for the plain resize+crop transform
+        # (not MinMaxResize), normalization then runs fused on device and
+        # the host->device transfer is uint8 (4x smaller)
+        if use_native is None:
+            from .. import native
+
+            use_native = (
+                native.available()
+                and getattr(transform, "respect_ratio_max", 1) is None
+            )
+        self.use_native = use_native
 
     # -- compiled programs, one per (prefix_len, image_hw) ---------------
     def _caption_fn(self, prefix_len: int, hw):
@@ -109,8 +121,17 @@ class CaptionEngine(object):
                 or max(self.beam.max_steps, 1024),
             )
 
+            from ..preprocess.transforms import CLIP_MEAN, CLIP_STD
+
+            mean = jnp.asarray(CLIP_MEAN)
+            std = jnp.asarray(CLIP_STD)
+
             @jax.jit
             def fn(params, images, prefix):
+                if images.dtype == jnp.uint8:
+                    # fused on-device normalization for the native path
+                    x = images.astype(dtype) / 255.0
+                    images = (x - mean.astype(dtype)) / std.astype(dtype)
                 return model.generate(params, images, prefix, beam=beam, dtype=dtype)
 
             self._jitted[key] = fn
@@ -122,6 +143,32 @@ class CaptionEngine(object):
         if img is None:
             return None
         return self.transform(img)
+
+    def _decode_chunk(self, payloads):
+        """Decode a list of base64 payloads to a list of arrays (None for
+        failures).  Native C++ path when enabled, PIL fallback per row
+        (e.g. PNG payloads — libjpeg only handles JPEG)."""
+        if not self.use_native:
+            return [self._decode_row(p) for p in payloads]
+        from .. import native
+        from ..preprocess.transforms import center_crop, resize_shorter
+
+        raw = [p.encode() if isinstance(p, str) else p for p in payloads]
+        crop = self.transform.crop_size
+        arrs, ok = native.decode_resize_crop_batch(raw, crop)
+        out = []
+        for i, good in enumerate(ok):
+            if good:
+                out.append(arrs[i])
+                continue
+            img = image_from_base64(payloads[i])
+            if img is None:
+                out.append(None)
+            else:
+                out.append(
+                    np.asarray(center_crop(resize_shorter(img, crop), crop), np.uint8)
+                )
+        return out
 
     def encode_prefix(self, text: str) -> List[int]:
         """[CLS] + last (max_text_len-2) question tokens
@@ -147,16 +194,20 @@ class CaptionEngine(object):
         tp = len(prefixes[0])
         assert all(len(p) == tp for p in prefixes)
         pad_n = (-n) % b
-        imgs = np.stack(images + [images[-1]] * pad_n).astype(np.float32)
+        imgs = np.stack(images + [images[-1]] * pad_n)
+        if imgs.dtype != np.uint8:
+            imgs = imgs.astype(np.float32)
         pref = np.asarray(prefixes + [prefixes[-1]] * pad_n, np.int32)
         outs = []
         fn = self._caption_fn(tp, imgs.shape[1:3])
         for i in range(0, len(imgs), b):
-            seqs, _ = fn(
-                self.params,
-                jnp.asarray(imgs[i : i + b], self.dtype),
-                jnp.asarray(pref[i : i + b]),
+            chunk = imgs[i : i + b]
+            dev_imgs = (
+                jnp.asarray(chunk)
+                if chunk.dtype == np.uint8
+                else jnp.asarray(chunk, self.dtype)
             )
+            seqs, _ = fn(self.params, dev_imgs, jnp.asarray(pref[i : i + b]))
             outs.append(np.asarray(seqs))
         seqs = np.concatenate(outs, axis=0)[:n]
         return [
@@ -177,18 +228,13 @@ class CaptionEngine(object):
         def rows():
             idxs = list(range(start, end))
             b = self.batch_size
-            # prefetch decode of batch i+1 while the device runs batch i
+            # prefetch decode of the next chunks while the device runs
             futures = collections.deque()
 
             def submit(batch_idxs):
+                payloads = [image_tsv[j][1] for j in batch_idxs]
                 futures.append(
-                    (
-                        batch_idxs,
-                        [
-                            self.pool.submit(self._decode_row, image_tsv[j][1])
-                            for j in batch_idxs
-                        ],
-                    )
+                    (batch_idxs, self.pool.submit(self._decode_chunk, payloads))
                 )
 
             chunks = [idxs[i : i + b] for i in range(0, len(idxs), b)]
@@ -196,16 +242,16 @@ class CaptionEngine(object):
                 submit(c)
             ci = 2
             while futures:
-                batch_idxs, futs = futures.popleft()
-                arrs, keys = [], []
-                for j, f in zip(batch_idxs, futs):
-                    a = f.result()
-                    if a is not None:
-                        arrs.append(a)
-                        keys.append(image_tsv.get_key(j))
+                batch_idxs, fut = futures.popleft()
+                decoded = fut.result()
                 if ci < len(chunks):
                     submit(chunks[ci])
                     ci += 1
+                arrs, keys = [], []
+                for j, a in zip(batch_idxs, decoded):
+                    if a is not None:
+                        arrs.append(a)
+                        keys.append(image_tsv.get_key(j))
                 if not arrs:
                     continue
                 caps = self.generate_batch(arrs, [[cls]] * len(arrs))
@@ -244,11 +290,7 @@ class CaptionEngine(object):
                 b = self.batch_size
                 for off in range(0, len(items), b):
                     chunk = items[off : off + b]
-                    arrs = [
-                        self.pool.submit(self._decode_row, image_tsv[i][1])
-                        for i, _, _ in chunk
-                    ]
-                    arrs = [f.result() for f in arrs]
+                    arrs = self._decode_chunk([image_tsv[i][1] for i, _, _ in chunk])
                     keep = [
                         (a, qid, p)
                         for a, (_, qid, p) in zip(arrs, chunk)

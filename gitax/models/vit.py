@@ -100,7 +100,8 @@ def _pos_embed_for(params, cfg: ViTConfig, gh, gw, dtype):
     return jnp.concatenate([pos[:1], resized.astype(dtype)], axis=0)
 
 
-def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None):
+def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None,
+                output_grid=True):
     """images [B, H, W, 3] (NHWC, normalized) -> tokens [B, 1+gh*gw, width].
 
     Cites decoder.py:846-857 for how GIT consumes the full token grid.
@@ -133,4 +134,11 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None):
         return _block(carry, bp, cfg.heads, cfg.ln_eps, flash=flash), None
 
     x, _ = jax.lax.scan(scan_fn, x, params["blocks"])
+    if not output_grid:
+        # CLIP image-embedding mode (CLIP/model.py:270-274): ln_post on the
+        # class token only, then the learned projection
+        x = layer_norm(x[:, 0], params["ln_post"], cfg.ln_eps)
+        if "proj" in params:
+            x = jnp.dot(x, params["proj"].astype(x.dtype))
+        return x
     return layer_norm(x, params["ln_post"], cfg.ln_eps)

@@ -184,6 +184,28 @@ class CaptionEngine(object):
             payload = payload[-(self.max_text_len - 2):]
         return [self.tokenizer.cls_token_id] + payload
 
+    # -- variable-resolution batching --------------------------------------
+    def generate_varshape(self, images: List[np.ndarray], prefixes: List[List[int]]):
+        """Batched generation over images of varying shapes (the
+        MinMaxResizeForTest models, reference inference.py:29-64): images
+        are truncated to patch multiples — exactly what the reference's
+        strided patchify conv does to remainder pixels — and grouped into
+        exact-grid buckets, each running as one static-shape program with
+        runtime pos-embedding interpolation (CLIP/model.py:245-251)."""
+        p = self.model.cfg.encoder.patch_size
+        groups = collections.defaultdict(list)
+        for i, a in enumerate(images):
+            h, w = (a.shape[0] // p) * p, (a.shape[1] // p) * p
+            groups[(h, w)].append(i)
+        results = [None] * len(images)
+        for (h, w), idxs in sorted(groups.items()):
+            caps = self.generate_batch(
+                [images[i][:h, :w] for i in idxs], [prefixes[i] for i in idxs]
+            )
+            for i, c in zip(idxs, caps):
+                results[i] = c
+        return results
+
     # -- batched generate --------------------------------------------------
     def generate_batch(self, images: List[np.ndarray], prefixes: List[List[int]]):
         """images: list of HWC arrays (same shape); prefixes: same length
@@ -254,7 +276,7 @@ class CaptionEngine(object):
                         keys.append(image_tsv.get_key(j))
                 if not arrs:
                     continue
-                caps = self.generate_batch(arrs, [[cls]] * len(arrs))
+                caps = self.generate_varshape(arrs, [[cls]] * len(arrs))
                 for k, cap in zip(keys, caps):
                     yield k, json_dump([{"caption": cap}])
 
@@ -298,7 +320,7 @@ class CaptionEngine(object):
                     ]
                     if not keep:
                         continue
-                    answers = self.generate_batch(
+                    answers = self.generate_varshape(
                         [a for a, _, _ in keep], [p for _, _, p in keep]
                     )
                     for (_, qid, _), ans in zip(keep, answers):

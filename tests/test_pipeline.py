@@ -128,3 +128,38 @@ def test_corrupt_image_skipped(engine, tmp_path):
 def test_wait_and_concat_timeout(tmp_path):
     with pytest.raises(TimeoutError):
         wait_and_concat_shards(str(tmp_path / "o.tsv"), 2, poll_s=0.05, timeout_s=0.2)
+
+
+def test_varshape_minmax_engine(tmp_path):
+    """High-res MinMaxResize models: variable non-square shapes bucketed
+    by exact patch grid (SURVEY hard part 3)."""
+    model = GitModel(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tok = BertTokenizer(build_tiny_vocab())
+    engine = CaptionEngine(
+        model,
+        params,
+        tok,
+        TestTransform(crop_size=32, respect_ratio_max=48),
+        batch_size=2,
+        beam=BeamSearchConfig(num_beams=2, max_steps=8),
+        dtype=jnp.float32,
+        use_native=False,
+    )
+    img_tsv = str(tmp_path / "imgs.tsv")
+    # mixed orientations -> different (gh, gw) buckets
+    tsv_writer(
+        [
+            ["wide", jpeg_b64(0, size=(80, 50))],
+            ["tall", jpeg_b64(1, size=(50, 80))],
+            ["sq", jpeg_b64(2, size=(64, 64))],
+        ],
+        img_tsv,
+    )
+    out_tsv = str(tmp_path / "out.tsv")
+    engine.run_caption_tsv(img_tsv, out_tsv)
+    out = TSVFile(out_tsv)
+    assert len(out) == 3
+    assert [out.get_key(i) for i in range(3)] == ["wide", "tall", "sq"]
+    for i in range(3):
+        assert "caption" in json.loads(out[i][1])[0]

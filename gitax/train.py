@@ -95,19 +95,23 @@ def speed_test_forward_backward(duplicate=32, iterations=1000, dtype="bfloat16")
     state = init_train_state(model, jax.random.PRNGKey(0), tx)
     step = jax.jit(make_train_step(model, tx, dtype=compute_dtype))
 
-    # warmup
+    # warmup (host transfer forces completion — block_until_ready does not
+    # reliably block on relayed TPU backends)
     for _ in range(2):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     bsz = batch["image"].shape[0]
     start = time.time()
     for iteration in range(iterations):
         state, metrics = step(state, batch)
         if iteration % 10 == 0 and iteration > 0:
-            jax.block_until_ready(metrics["loss"])
+            loss_now = float(metrics["loss"])
             end = time.time()
-            logging.info("speed = %s images/s", bsz * 10 / (end - start))
+            logging.info(
+                "speed = %.1f images/s (loss %.4f)",
+                bsz * 10 / (end - start), loss_now,
+            )
             start = time.time()
     logging.info("final loss %s", float(metrics["loss"]))
 

@@ -174,3 +174,15 @@ def test_greedy_matches_stepwise_argmax(setup):
     oracle = np.full((2, max_steps), EOS, np.int32)
     oracle[:, : toks.shape[1]] = toks
     np.testing.assert_array_equal(seqs, oracle)
+
+
+def test_beam_parity_num_keep_best(setup):
+    """n-best hypothesis buffers (num_keep_best=3) match the reference's
+    BeamHypotheses heap contents and ordering."""
+    head, params, visual = setup
+    start = np.full((2, 1), SOS, np.int64)
+    ref_dec, ref_lp = reference_search(head, visual, start, 4, 12, num_keep_best=3)
+    dec, lp = gitax_search(params, visual, start.astype(np.int32), 4, 12,
+                           num_keep_best=3)
+    np.testing.assert_array_equal(np.asarray(dec), ref_dec.numpy())
+    np.testing.assert_allclose(np.asarray(lp), ref_lp.numpy(), rtol=1e-4, atol=1e-4)

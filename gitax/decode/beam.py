@@ -162,7 +162,9 @@ def beam_search(
     hyp_scores = jnp.full((b, n), -jnp.inf, jnp.float32)
     hyp_count = jnp.zeros((b,), jnp.int32)
     done = jnp.zeros((b,), bool)
-    logits0 = jnp.repeat(prefill_logits.astype(jnp.float32), k, axis=0)
+    # logits stay in the model's compute dtype; score math upcasts to f32
+    # only where it matters (logsumexp, candidate scores)
+    logits0 = jnp.repeat(prefill_logits, k, axis=0)
     if cfg.repetition_penalty != 1.0:
         seen0 = jax.nn.one_hot(prefix_tokens, v, dtype=bool).any(axis=1)
         seen0 = jnp.repeat(seen0, k, axis=0)  # [BK, V]
@@ -216,7 +218,9 @@ def beam_search(
             # NOTE: the reference mislabels parent beams here (its
             # `beam_indices` tiling is [0..K-1]*P while the sampled words
             # are beam-major); we label parents correctly.
-            lt = logits / cfg.temperature if cfg.temperature != 1.0 else logits
+            lt = logits.astype(jnp.float32)
+            if cfg.temperature != 1.0:
+                lt = lt / cfg.temperature
             lt = top_k_top_p_filter(
                 lt, cfg.top_k, cfg.top_p, min_tokens_to_keep=2
             )
@@ -235,11 +239,27 @@ def beam_search(
             beam_of = jnp.repeat(jnp.arange(k), cfg.per_node_beam_size)
             next_idx = words.reshape(b, c) + (beam_of * v)[None, :]
         else:
-            logprobs = jax.nn.log_softmax(logits, axis=-1)
-            flat = (
-                logprobs.reshape(b, k, v) + st["beam_scores"][:, :, None]
-            ).reshape(b, k * v)
-            next_scores, next_idx = _top_k_iterative(flat, c)  # sorted desc
+            # Exact equivalent of topk(log_softmax + beam_score) over the
+            # flattened [K*V] axis (decoder.py:1169-1175), restructured:
+            # per-beam top-C over RAW logits (log_softmax is a monotone
+            # per-row shift), then normalize only the K*C candidates with
+            # logsumexp and merge.  Avoids materializing the full-vocab
+            # log-softmax every step; tie order (lower flat index first)
+            # is preserved.
+            pb_vals, pb_idx = _top_k_iterative(logits, c)  # [BK, C]
+            lse = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1
+            )  # [BK]
+            cand = (
+                pb_vals.astype(jnp.float32)
+                - lse[:, None]
+                + st["beam_scores"].reshape(-1)[:, None]
+            )  # [BK, C]
+            merged_scores = cand.reshape(b, k * c)
+            beam_of = jnp.repeat(jnp.arange(k), c)  # [K*C]
+            merged_idx = pb_idx.reshape(b, k * c) + (beam_of * v)[None, :]
+            next_scores, sel = _top_k_iterative(merged_scores, c)
+            next_idx = jnp.take_along_axis(merged_idx, sel, axis=1)
         beam_id = next_idx // v
         word_id = next_idx % v
 
@@ -322,7 +342,7 @@ def beam_search(
             hyp_scores=top_vals,
             hyp_count=hyp_count_new,
             done=done_now,
-            logits=step_logits.astype(jnp.float32),
+            logits=step_logits,
             cache=cache_new,
             seen=st["seen"],
             rng=rng_cur,

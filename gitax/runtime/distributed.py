@@ -1,0 +1,68 @@
+"""Multi-host runtime setup.
+
+The reference's "distributed" layer is mpirun env vars + a filesystem
+barrier (common.py:106-119, inference.py:214-225).  gitax keeps that
+rank/world contract for host-level row sharding (runtime.pipeline) and
+adds the real thing for SPMD programs: `jax.distributed` initialization
+over ICI/DCN, so a multi-host mesh behaves as one device grid.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize jax.distributed from args or the standard env vars
+    (COORDINATOR_ADDRESS / WORLD_SIZE+RANK, or the TPU metadata that
+    jax discovers automatically on Cloud TPU pods).  Safe to call when
+    single-process: becomes a no-op."""
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    num_processes = num_processes or _int_env("WORLD_SIZE")
+    process_id = process_id if process_id is not None else _int_env("RANK")
+    if coordinator_address is None and num_processes in (None, 1):
+        logging.info("single-process run; skipping jax.distributed")
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logging.info(
+        "jax.distributed up: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+    return True
+
+
+def _int_env(name):
+    v = os.environ.get(name)
+    return int(v) if v is not None else None
+
+
+def local_batch_slice(global_batch: int):
+    """This process's slice of a globally-sharded batch, matching the
+    contiguous ceil-split the TSV pipeline uses (inference.py:165-169)."""
+    import jax
+
+    from .pipeline import shard_range
+
+    return shard_range(global_batch, jax.process_index(), jax.process_count())
+
+
+def barrier(name="gitax_barrier"):
+    """Cross-process sync; replaces the reference's poll-the-filesystem
+    barrier when jax.distributed is initialized."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

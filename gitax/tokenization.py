@@ -33,6 +33,20 @@ VOCAB_SEARCH_PATHS = (
 )
 
 
+def _hf_cache_vocab_paths():
+    """vocab.txt files inside a HuggingFace hub cache for
+    bert-base-uncased, when one exists locally."""
+    import glob
+
+    base = os.environ.get(
+        "HF_HOME", os.path.expanduser("~/.cache/huggingface")
+    )
+    pattern = os.path.join(
+        base, "hub", "models--*bert-base-uncased*", "snapshots", "*", "vocab.txt"
+    )
+    return sorted(glob.glob(pattern))
+
+
 def _is_whitespace(ch):
     if ch in (" ", "\t", "\n", "\r"):
         return True
@@ -212,7 +226,10 @@ class BertTokenizer(object):
 
     @classmethod
     def bert_base_uncased(cls, search_paths: Optional[Iterable[str]] = None):
-        for p in search_paths or VOCAB_SEARCH_PATHS:
+        candidates = list(search_paths or VOCAB_SEARCH_PATHS)
+        if search_paths is None:
+            candidates += _hf_cache_vocab_paths()
+        for p in candidates:
             if os.path.isfile(p):
                 return cls.from_vocab_file(p)
         raise FileNotFoundError(

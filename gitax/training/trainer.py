@@ -50,18 +50,28 @@ def init_train_state(model: GitModel, key, tx: Optional[optax.GradientTransforma
 
 
 def make_train_step(model: GitModel, tx: Optional[optax.GradientTransformation] = None,
-                    dtype=jnp.float32, label_smoothing=0.1):
+                    dtype=jnp.float32, label_smoothing=0.1, remat=False):
     """Returns step(state, batch) -> (state, metrics), pure and jittable.
 
     batch: {'image': [B,H,W,3] or [B,F,H,W,3], 'caption_tokens': [B,T],
             'need_predict': [B,T]}  (reference train.py:38-73 protocol).
+
+    remat=True rematerializes the image-encoder forward in the backward
+    pass (jax.checkpoint) — trades ~1/3 extra encoder FLOPs for dropping
+    all ViT activations from memory, enabling much larger batches.
     """
     tx = tx or default_optimizer()
 
-    def loss_fn(params, batch):
-        logits = model.forward_logits(
+    def forward(params, batch):
+        return model.forward_logits(
             params, batch["image"], batch["caption_tokens"], dtype=dtype
         )
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, batch):
+        logits = forward(params, batch)
         loss = caption_loss(
             logits,
             batch["caption_tokens"],

@@ -1,0 +1,123 @@
+"""Full user workflow against a reference-layout checkpoint on disk:
+
+  output/{model}/snapshot/model.pt (torch)  ->  CLI TSV caption inference
+  ->  COCO-format conversion  ->  metric evaluation
+
+This chains C28 (checkpoint load/alignment), C30 (TSV pipeline), C31
+(evaluation) exactly as a reference user would run them, with a tiny
+custom model so it stays CPU-fast."""
+
+import base64
+import io
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from gitax.common import json_dump
+from gitax.io.tsv import TSVFile, tsv_writer
+
+
+def make_checkpoint(tmp_path, model_name="TINY_TEST_MODEL"):
+    """Build a tiny torch GIT checkpoint in the reference's on-disk
+    layout using the reference modules as the writer."""
+    from reference_compat import import_reference_modules
+
+    clip_model, ref_decoder = import_reference_modules()
+    torch.manual_seed(0)
+    vit = clip_model.VisualTransformer(
+        input_resolution=32, patch_size=16, width=64, layers=2, heads=2,
+        output_dim=64, output_grid=True, grid_after_ln=True)
+    txt = ref_decoder.TransformerDecoderTextualHead(
+        visual_feature_size=64, vocab_size=30522, hidden_size=48, num_layers=2,
+        attention_heads=4, feedforward_size=96, max_caption_length=32,
+        mask_future_positions=True, padding_idx=0, decoder_type="bert_en",
+        visual_projection_type="linearLn")
+    sd = {}
+    for k, v in vit.state_dict().items():
+        sd["module.image_encoder." + k] = v
+    for k, v in txt.state_dict().items():
+        sd["module.textual." + k] = v
+    ckpt_dir = tmp_path / "output" / model_name / "snapshot"
+    ckpt_dir.mkdir(parents=True)
+    torch.save({"model": sd}, str(ckpt_dir / "model.pt"))
+    return model_name
+
+
+def jpeg_b64(seed):
+    rng = np.random.RandomState(seed)
+    img = Image.fromarray(rng.randint(0, 255, (40, 48, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue())
+
+
+def test_checkpoint_to_metrics_workflow(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    model_name = make_checkpoint(tmp_path)
+    # the CLI resolves unknown model names to an empty param dict; supply
+    # the tiny architecture via a parameter.yaml + monkeypatched config
+    import gitax.inference as inf
+    from gitax.models import GitModel, GitConfig, ViTConfig
+
+    tiny_cfg = GitConfig(
+        encoder=ViTConfig(16, 64, 2, 2, 32),
+        visual_feature_size=64,
+        vocab_size=30522,
+        hidden_size=48,
+        num_layers=2,
+        num_heads=4,
+        feedforward_size=96,
+        max_caption_length=32,
+    )
+    monkeypatch.setattr(
+        "gitax.models.git.config_from_param", lambda param=None: tiny_cfg
+    )
+
+    # data: 3-row base64 image TSV + gt captions
+    tsv_writer([["im{}".format(i), jpeg_b64(i)] for i in range(3)], "test.img.tsv")
+    tsv_writer(
+        [
+            ["im{}".format(i), json_dump([{"caption": "a a a"}, {"caption": "a a"}])]
+            for i in range(3)
+        ],
+        "test.caption.tsv",
+    )
+
+    # CLI: checkpoint is found and loaded (not random init)
+    import logging
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Capture()
+    logging.getLogger().addHandler(handler)
+    old_level = logging.getLogger().level
+    logging.getLogger().setLevel(logging.INFO)
+    try:
+        inf.test_git_inference_single_tsv(
+            "test.img.tsv", model_name, None, "pred.tsv", batch_size=2
+        )
+    finally:
+        logging.getLogger().removeHandler(handler)
+        logging.getLogger().setLevel(old_level)
+    assert any("loading output/{}".format(model_name) in m for m in records), records
+
+    out = TSVFile("pred.tsv")
+    assert len(out) == 3
+    preds = [json.loads(out[i][1]) for i in range(3)]
+    assert all("caption" in p[0] for p in preds)
+
+    # evaluation over the predictions
+    result = inf.evaluate_on_coco_caption("pred.tsv", "test.caption.tsv")
+    assert set(result) >= {"Bleu_1", "CIDEr", "ROUGE_L"}
+    assert all(np.isfinite(v) for v in result.values())

@@ -135,3 +135,35 @@ def test_train_step_on_mesh():
     with jax.sharding.set_mesh(mesh):
         state3, metrics2 = step(state2, batch)
     assert float(metrics2["loss"]) < float(metrics["loss"])
+
+
+def test_train_step_remat_matches():
+    """remat=True must give the same loss/updates as remat=False."""
+    import optax
+
+    model = GitModel(TINY)
+    tx = optax.sgd(1e-3)
+    batch = {
+        "image": jnp.asarray(np.random.RandomState(5).randn(2, 32, 32, 3),
+                             jnp.float32),
+        "caption_tokens": jnp.asarray([[101, 5, 9, 102], [101, 7, 3, 102]]),
+        "need_predict": jnp.asarray([[0, 1, 1, 1], [0, 1, 1, 1]]),
+    }
+    s0 = init_train_state(model, jax.random.PRNGKey(0), tx)
+    s_plain, m_plain = jax.jit(make_train_step(model, tx))(s0, batch)
+    s_remat, m_remat = jax.jit(make_train_step(model, tx, remat=True))(s0, batch)
+    np.testing.assert_allclose(
+        float(m_plain["loss"]), float(m_remat["loss"]), rtol=1e-6
+    )
+    a = np.asarray(s_plain.params["textual"]["embedding"]["words"])
+    b = np.asarray(s_remat.params["textual"]["embedding"]["words"])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_helpers_single_process():
+    from gitax.runtime import distributed
+
+    assert distributed.initialize() is False  # no-op single process
+    distributed.barrier()  # no-op
+    s, e = distributed.local_batch_slice(10)
+    assert (s, e) == (0, 10)

@@ -237,6 +237,88 @@ def convert_textual_state_dict(sd, cfg: GitConfig, prefix="textual."):
     }
 
 
+def export_git_state_dict(params, cfg: GitConfig):
+    """gitax params pytree -> reference-style torch state-dict names
+    (numpy values; caller may torch.save({'model': ...})).  Inverse of
+    convert_git_state_dict, so models fine-tuned in gitax can be used by
+    the PyTorch reference."""
+    out = {}
+
+    def put(name, arr):
+        out[name] = np.asarray(arr, np.float32)
+
+    # image encoder
+    ie = params["image_encoder"]
+    p, w = cfg.encoder.patch_size, cfg.encoder.width
+    put(
+        "image_encoder.conv1.weight",
+        np.asarray(ie["patch_kernel"], np.float32)
+        .reshape(p, p, 3, w)
+        .transpose(3, 2, 0, 1),
+    )
+    put("image_encoder.class_embedding", ie["class_embedding"])
+    put("image_encoder.positional_embedding", ie["positional_embedding"])
+    for ln in ("ln_pre", "ln_post"):
+        put("image_encoder.{}.weight".format(ln), ie[ln]["scale"])
+        put("image_encoder.{}.bias".format(ln), ie[ln]["bias"])
+    blocks = ie["blocks"]
+    for i in range(cfg.encoder.layers):
+        base = "image_encoder.transformer.resblocks.{}.".format(i)
+        put(base + "attn.in_proj_weight", np.asarray(blocks["attn"]["qkv"]["kernel"])[i].T)
+        put(base + "attn.in_proj_bias", np.asarray(blocks["attn"]["qkv"]["bias"])[i])
+        put(base + "attn.out_proj.weight", np.asarray(blocks["attn"]["out"]["kernel"])[i].T)
+        put(base + "attn.out_proj.bias", np.asarray(blocks["attn"]["out"]["bias"])[i])
+        for ln in ("ln_1", "ln_2"):
+            put(base + ln + ".weight", np.asarray(blocks[ln]["scale"])[i])
+            put(base + ln + ".bias", np.asarray(blocks[ln]["bias"])[i])
+        put(base + "mlp.c_fc.weight", np.asarray(blocks["mlp"]["c_fc"]["kernel"])[i].T)
+        put(base + "mlp.c_fc.bias", np.asarray(blocks["mlp"]["c_fc"]["bias"])[i])
+        put(base + "mlp.c_proj.weight", np.asarray(blocks["mlp"]["c_proj"]["kernel"])[i].T)
+        put(base + "mlp.c_proj.bias", np.asarray(blocks["mlp"]["c_proj"]["bias"])[i])
+
+    # textual head
+    tx = params["textual"]
+    put("textual.visual_projection.0.weight", np.asarray(tx["visual_projection"]["linear"]["kernel"]).T)
+    put("textual.visual_projection.0.bias", tx["visual_projection"]["linear"]["bias"])
+    put("textual.visual_projection.1.weight", tx["visual_projection"]["ln"]["scale"])
+    put("textual.visual_projection.1.bias", tx["visual_projection"]["ln"]["bias"])
+    put("textual.embedding.words.weight", tx["embedding"]["words"])
+    put("textual.embedding.positions.weight", tx["embedding"]["positions"])
+    put("textual.embedding.layer_norm.weight", tx["embedding"]["ln"]["scale"])
+    put("textual.embedding.layer_norm.bias", tx["embedding"]["ln"]["bias"])
+    tb = tx["blocks"]
+    d = cfg.hidden_size
+    for i in range(cfg.num_layers):
+        base = "textual.transformer.encoder.layer.{}.".format(i)
+        qkv_k = np.asarray(tb["attn"]["qkv"]["kernel"])[i]  # [D, 3D]
+        qkv_b = np.asarray(tb["attn"]["qkv"]["bias"])[i]
+        put(base + "attention.self.query.weight", qkv_k[:, :d].T)
+        put(base + "attention.self.key.weight", qkv_k[:, d : 2 * d].T)
+        put(base + "attention.self.value.weight", qkv_k[:, 2 * d :].T)
+        put(base + "attention.self.query.bias", qkv_b[:d])
+        put(base + "attention.self.key.bias", qkv_b[d : 2 * d])
+        put(base + "attention.self.value.bias", qkv_b[2 * d :])
+        put(base + "attention.output.dense.weight", np.asarray(tb["attn"]["out"]["kernel"])[i].T)
+        put(base + "attention.output.dense.bias", np.asarray(tb["attn"]["out"]["bias"])[i])
+        put(base + "attention.output.LayerNorm.weight", np.asarray(tb["attn_ln"]["scale"])[i])
+        put(base + "attention.output.LayerNorm.bias", np.asarray(tb["attn_ln"]["bias"])[i])
+        put(base + "intermediate.dense.weight", np.asarray(tb["mlp"]["intermediate"]["kernel"])[i].T)
+        put(base + "intermediate.dense.bias", np.asarray(tb["mlp"]["intermediate"]["bias"])[i])
+        put(base + "output.dense.weight", np.asarray(tb["mlp"]["output"]["kernel"])[i].T)
+        put(base + "output.dense.bias", np.asarray(tb["mlp"]["output"]["bias"])[i])
+        put(base + "output.LayerNorm.weight", np.asarray(tb["mlp_ln"]["scale"])[i])
+        put(base + "output.LayerNorm.bias", np.asarray(tb["mlp_ln"]["bias"])[i])
+    # tied output head (weight == word embedding, decoder.py:500-505)
+    put("textual.output.weight", tx["embedding"]["words"])
+    put("textual.output.bias", tx["output_bias"])
+
+    if "img_temporal_embedding" in params:
+        emb = np.asarray(params["img_temporal_embedding"], np.float32)
+        for i in range(emb.shape[0]):
+            put("img_temperal_embedding.{}".format(i), emb[i].reshape(1, 1, -1))
+    return out
+
+
 def infer_visual_config(sd, prefix="visual."):
     """Infer the visual-tower architecture from state-dict shapes, like
     the reference's build_model (CLIP/model.py:402-425).  Returns

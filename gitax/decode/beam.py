@@ -23,7 +23,7 @@ strict `score > worst_score`).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Optional
 
 import jax

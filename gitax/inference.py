@@ -18,7 +18,6 @@ import numpy as np
 
 from .common import (
     dispatch_main,
-    get_mpi_local_rank,
     get_mpi_rank,
     get_mpi_size,
     json_dump,
@@ -26,7 +25,7 @@ from .common import (
     write_to_file,
 )
 from .io.image import load_image
-from .io.tsv import TSVFile, tsv_reader
+from .io.tsv import tsv_reader
 from .preprocess import get_image_transform
 from .tokenization import BertTokenizer
 

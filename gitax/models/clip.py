@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .nn import layer_norm, linear, quick_gelu, self_attention
-from .vit import _block
 
 
 @dataclasses.dataclass(frozen=True)

@@ -36,7 +36,6 @@ from .nn import (
     linear,
     merge_heads,
     qkv_project,
-    split_heads,
 )
 
 NEG_INF = -1e18  # additive-mask "blocked"; avoids inf-inf NaN edge cases

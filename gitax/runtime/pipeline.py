@@ -27,7 +27,7 @@ import logging
 import os.path as op
 import time
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

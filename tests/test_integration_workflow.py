@@ -121,3 +121,48 @@ def test_checkpoint_to_metrics_workflow(tmp_path, monkeypatch):
     result = inf.evaluate_on_coco_caption("pred.tsv", "test.caption.tsv")
     assert set(result) >= {"Bleu_1", "CIDEr", "ROUGE_L"}
     assert all(np.isfinite(v) for v in result.values())
+
+
+def test_video_cli_multiframe(tmp_path, monkeypatch):
+    """Multi-frame (video) single-image CLI path: list of image paths ->
+    per-frame encode + temporal embeddings (reference inference.py:73-77,
+    decoder.py:846-853)."""
+    monkeypatch.chdir(tmp_path)
+    import gitax.inference as inf
+    from gitax.models import GitConfig, ViTConfig
+
+    tiny_cfg = GitConfig(
+        encoder=ViTConfig(16, 64, 2, 2, 32),
+        visual_feature_size=64,
+        vocab_size=30522,
+        hidden_size=48,
+        num_layers=2,
+        num_heads=4,
+        feedforward_size=96,
+        max_caption_length=64,
+        num_image_with_embedding=3,
+    )
+    monkeypatch.setattr(
+        "gitax.models.git.config_from_param", lambda param=None: tiny_cfg
+    )
+    monkeypatch.setattr(inf, "_load_param", lambda name: {"test_crop_size": 32})
+    rng = np.random.RandomState(0)
+    frames = []
+    for i in range(3):
+        p = str(tmp_path / "f{}.jpg".format(i))
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(p)
+        frames.append(p)
+    # patch beam to a small budget so the random-weight decode is quick
+    from gitax.decode import BeamSearchConfig as BSC
+
+    import gitax.models.git as gitmod
+
+    real_generate = gitmod.GitModel.generate
+
+    def small_generate(self, params, images, prefix_tokens=None, beam=None, **kw):
+        beam = BSC(num_beams=2, max_steps=10)
+        return real_generate(self, params, images, prefix_tokens, beam=beam, **kw)
+
+    monkeypatch.setattr(gitmod.GitModel, "generate", small_generate)
+    cap = inf.test_git_inference_single_image(frames, "SOME_VIDEO_MODEL", "")
+    assert isinstance(cap, str)

@@ -172,3 +172,46 @@ def test_align_by_suffix():
     loaded = {"module.encoder.conv1.weight": 1, "module.encoder.ln.bias": 2}
     out = align_by_suffix(["conv1.weight", "ln.bias"], loaded)
     assert out == {"conv1.weight": 1, "ln.bias": 2}
+
+
+def test_export_round_trip():
+    """params -> reference state-dict names -> params must be identical,
+    and the exported dict must load into the reference torch modules."""
+    import jax
+
+    from gitax.ckpt.torch_convert import (
+        convert_git_state_dict,
+        export_git_state_dict,
+    )
+    from gitax.models import GitModel
+    import dataclasses
+
+    cfg = dataclasses.replace(GIT_CFG, num_image_with_embedding=2)
+    model = GitModel(cfg)
+    params = jax.device_get(model.init_params(jax.random.PRNGKey(3)))
+    sd = export_git_state_dict(params, cfg)
+    back = convert_git_state_dict(sd, cfg)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(back)
+    )
+    for k, v in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(v), flat_b[jax.tree_util.keystr(k)], rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+    # exported names load into the torch reference modules without misses
+    tvit = clip_model.VisualTransformer(
+        input_resolution=32, patch_size=16, width=64, layers=2, heads=2,
+        output_dim=64, output_grid=True, grid_after_ln=True)
+    vit_sd = {
+        k[len("image_encoder."):]: torch.from_numpy(v)
+        for k, v in sd.items()
+        if k.startswith("image_encoder.")
+    }
+    missing, unexpected = tvit.load_state_dict(vit_sd, strict=False)
+    assert not unexpected, unexpected
+    assert missing == ["proj"] or not missing, missing  # grid mode: no proj in export

@@ -84,8 +84,14 @@ def _build_model(model_name, param, dtype=None):
     return model, params
 
 
-def test_git_inference_single_image(image_path, model_name, prefix=""):
-    """Single image/video caption or QA (reference inference.py:67-109)."""
+def test_git_inference_single_image(image_path, model_name, prefix="",
+                                    vocab_file=None):
+    """Single image/video caption or QA (reference inference.py:67-109).
+
+    vocab_file: optional path to a class-name list (one per line, e.g.
+    aux_data/imagenet/imagenet_unique_readable_names.txt) — switches to
+    trie-constrained classification decoding (the reference's
+    commented-in option, model.py:42-48)."""
     import jax.numpy as jnp
 
     from .decode import BeamSearchConfig
@@ -115,10 +121,23 @@ def test_git_inference_single_image(image_path, model_name, prefix=""):
         payload = payload[-(max_text_len - 2):]
     input_ids = [tokenizer.cls_token_id] + payload
 
-    beam = BeamSearchConfig(num_beams=4, max_steps=1024)
-    seqs, _ = model.generate(
-        params, images, jnp.asarray([input_ids], jnp.int32), beam=beam
-    )
+    if vocab_file:
+        from .common import load_list_file
+        from .decode import build_vocab_trie
+
+        trie = build_vocab_trie(tokenizer, load_list_file(vocab_file))
+        seqs, _ = model.generate(
+            params,
+            images,
+            jnp.asarray([input_ids], jnp.int32),
+            mode="trie",
+            trie=trie,
+        )
+    else:
+        beam = BeamSearchConfig(num_beams=4, max_steps=1024)
+        seqs, _ = model.generate(
+            params, images, jnp.asarray([input_ids], jnp.int32), beam=beam
+        )
     cap = tokenizer.decode(np.asarray(seqs)[0].tolist(), skip_special_tokens=True)
     logging.info("output: %s", cap)
     return cap

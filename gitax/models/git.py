@@ -162,6 +162,7 @@ class GitModel(object):
         max_steps=None,
         num_return_sequences=1,
         rng=None,
+        trie=None,
     ):
         """Caption/answer generation (reference infer, decoder.py:977-1011).
 
@@ -205,6 +206,21 @@ class GitModel(object):
             step = partial_decode_step(self, params, dtype)
             seqs, logprobs = greedy_search(
                 step, logits, cache, prefix_tokens, max_steps
+            )
+            return seqs[:, tp:], logprobs
+        elif mode == "trie":
+            # classification-as-generation (the reference's commented-in
+            # TrieAutoRegressiveBeamSearch option, model.py:42-48)
+            from ..decode import trie_greedy_search
+
+            assert trie is not None, "mode='trie' requires a TokenTrie"
+            max_steps = max_steps or 40
+            logits, cache = self.prefill(
+                params, visual, prefix_tokens, max_steps, memory_valid, dtype
+            )
+            step = partial_decode_step(self, params, dtype)
+            seqs, logprobs = trie_greedy_search(
+                step, logits, cache, prefix_tokens, trie, max_steps
             )
             return seqs[:, tp:], logprobs
         raise ValueError(mode)

@@ -185,31 +185,49 @@ class CaptionEngine(object):
         return [self.tokenizer.cls_token_id] + payload
 
     # -- variable-resolution batching --------------------------------------
-    def generate_varshape(self, images: List[np.ndarray], prefixes: List[List[int]]):
-        """Batched generation over images of varying shapes (the
-        MinMaxResizeForTest models, reference inference.py:29-64): images
-        are truncated to patch multiples — exactly what the reference's
-        strided patchify conv does to remainder pixels — and grouped into
-        exact-grid buckets, each running as one static-shape program with
-        runtime pos-embedding interpolation (CLIP/model.py:245-251)."""
+    def dispatch_varshape(self, images: List[np.ndarray], prefixes: List[List[int]]):
+        """Asynchronously dispatch generation over images of varying
+        shapes (the MinMaxResizeForTest models, reference
+        inference.py:29-64): images are truncated to patch multiples —
+        exactly what the reference's strided patchify conv does to
+        remainder pixels — and grouped into exact-grid buckets, each
+        running as one static-shape program with runtime pos-embedding
+        interpolation (CLIP/model.py:245-251).
+
+        Returns an opaque handle; resolve() blocks on the device and
+        detokenizes.  jax dispatch is async, so callers can overlap
+        host work for batch i with device compute for batch i+1."""
         p = self.model.cfg.encoder.patch_size
         groups = collections.defaultdict(list)
         for i, a in enumerate(images):
             h, w = (a.shape[0] // p) * p, (a.shape[1] // p) * p
             groups[(h, w)].append(i)
-        results = [None] * len(images)
+        dispatched = []
         for (h, w), idxs in sorted(groups.items()):
-            caps = self.generate_batch(
+            seqs = self._dispatch_batch(
                 [images[i][:h, :w] for i in idxs], [prefixes[i] for i in idxs]
             )
-            for i, c in zip(idxs, caps):
-                results[i] = c
+            dispatched.append((idxs, seqs))
+        return len(images), dispatched
+
+    def resolve(self, handle):
+        n, dispatched = handle
+        results = [None] * n
+        for idxs, seqs in dispatched:
+            arr = np.concatenate([np.asarray(s) for s in seqs], axis=0)[: len(idxs)]
+            for i, row in zip(idxs, arr):
+                results[i] = self.tokenizer.decode(
+                    row.tolist(), skip_special_tokens=True
+                )
         return results
 
+    def generate_varshape(self, images, prefixes):
+        return self.resolve(self.dispatch_varshape(images, prefixes))
+
     # -- batched generate --------------------------------------------------
-    def generate_batch(self, images: List[np.ndarray], prefixes: List[List[int]]):
-        """images: list of HWC arrays (same shape); prefixes: same length
-        each.  Returns list of decoded strings."""
+    def _dispatch_batch(self, images: List[np.ndarray], prefixes: List[List[int]]):
+        """Dispatch same-shape images to the device (async); returns a
+        list of device sequence arrays covering >= len(images) rows."""
         n = len(images)
         assert n > 0
         b = self.batch_size
@@ -220,8 +238,8 @@ class CaptionEngine(object):
         if imgs.dtype != np.uint8:
             imgs = imgs.astype(np.float32)
         pref = np.asarray(prefixes + [prefixes[-1]] * pad_n, np.int32)
-        outs = []
         fn = self._caption_fn(tp, imgs.shape[1:3])
+        outs = []
         for i in range(0, len(imgs), b):
             chunk = imgs[i : i + b]
             dev_imgs = (
@@ -230,10 +248,16 @@ class CaptionEngine(object):
                 else jnp.asarray(chunk, self.dtype)
             )
             seqs, _ = fn(self.params, dev_imgs, jnp.asarray(pref[i : i + b]))
-            outs.append(np.asarray(seqs))
-        seqs = np.concatenate(outs, axis=0)[:n]
+            outs.append(seqs)
+        return outs
+
+    def generate_batch(self, images: List[np.ndarray], prefixes: List[List[int]]):
+        """images: list of HWC arrays (same shape); prefixes: same length
+        each.  Returns list of decoded strings."""
+        seqs = self._dispatch_batch(images, prefixes)
+        arr = np.concatenate([np.asarray(s) for s in seqs], axis=0)[: len(images)]
         return [
-            self.tokenizer.decode(s.tolist(), skip_special_tokens=True) for s in seqs
+            self.tokenizer.decode(s.tolist(), skip_special_tokens=True) for s in arr
         ]
 
     # -- TSV caption pipeline ---------------------------------------------
@@ -263,6 +287,10 @@ class CaptionEngine(object):
             for c in chunks[:2]:
                 submit(c)
             ci = 2
+            # three-stage pipeline: host decode of chunk i+1 (thread pool)
+            # || device beam search of chunk i (async jax dispatch) ||
+            # detokenization of chunk i-1 (this thread)
+            pending = None  # (keys, dispatch handle)
             while futures:
                 batch_idxs, fut = futures.popleft()
                 decoded = fut.result()
@@ -274,10 +302,19 @@ class CaptionEngine(object):
                     if a is not None:
                         arrs.append(a)
                         keys.append(image_tsv.get_key(j))
-                if not arrs:
-                    continue
-                caps = self.generate_varshape(arrs, [[cls]] * len(arrs))
-                for k, cap in zip(keys, caps):
+                handle = (
+                    self.dispatch_varshape(arrs, [[cls]] * len(arrs))
+                    if arrs
+                    else None
+                )
+                if pending is not None:
+                    pkeys, phandle = pending
+                    for k, cap in zip(pkeys, self.resolve(phandle)):
+                        yield k, json_dump([{"caption": cap}])
+                pending = (keys, handle) if handle is not None else None
+            if pending is not None:
+                pkeys, phandle = pending
+                for k, cap in zip(pkeys, self.resolve(phandle)):
                     yield k, json_dump([{"caption": cap}])
 
         tsv_writer(rows(), cur_out)

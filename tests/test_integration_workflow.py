@@ -166,3 +166,37 @@ def test_video_cli_multiframe(tmp_path, monkeypatch):
     monkeypatch.setattr(gitmod.GitModel, "generate", small_generate)
     cap = inf.test_git_inference_single_image(frames, "SOME_VIDEO_MODEL", "")
     assert isinstance(cap, str)
+
+
+def test_trie_cli_classification(tmp_path, monkeypatch):
+    """vocab_file switches the single-image CLI to trie-constrained
+    classification (reference model.py:42-48 commented-in option)."""
+    monkeypatch.chdir(tmp_path)
+    import gitax.inference as inf
+    from gitax.models import GitConfig, ViTConfig
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+
+    tiny_cfg = GitConfig(
+        encoder=ViTConfig(16, 64, 2, 2, 32),
+        visual_feature_size=64,
+        vocab_size=30522,
+        hidden_size=48,
+        num_layers=2,
+        num_heads=4,
+        feedforward_size=96,
+        max_caption_length=64,
+    )
+    monkeypatch.setattr(
+        "gitax.models.git.config_from_param", lambda param=None: tiny_cfg
+    )
+    monkeypatch.setattr(inf, "_load_param", lambda name: {"test_crop_size": 32})
+    tok = BertTokenizer(build_tiny_vocab(words=["dog", "cat", "truck"]))
+    monkeypatch.setattr(inf, "_load_tokenizer", lambda: tok)
+    (tmp_path / "names.txt").write_text("dog\ncat\ntruck\n")
+    rng = np.random.RandomState(0)
+    img_path = str(tmp_path / "x.jpg")
+    Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(img_path)
+    out = inf.test_git_inference_single_image(
+        img_path, "CLS_MODEL", "", vocab_file=str(tmp_path / "names.txt")
+    )
+    assert out in {"dog", "cat", "truck"}, out

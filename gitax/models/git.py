@@ -167,16 +167,20 @@ class GitModel(object):
         """Caption/answer generation (reference infer, decoder.py:977-1011).
 
         prefix_tokens: [B, Tp] ([CLS] alone for captioning; [CLS]+question
-        for VQA).  Returns (sequences, logprobs) with the prefix stripped
-        (decoder.py:1004-1006); for beam mode with num_keep_best==1 the
-        keep axis is squeezed like the reference (decoder.py:1288-1289).
-        num_return_sequences>1 replicates each input R times on the batch
-        axis (decoder.py:1093-1096) — outputs stay flat [B*R, ...].
+        for VQA).  Returns (sequences, logprobs); when prefix_tokens is
+        given explicitly it is stripped from the output — the reference
+        strips only in prefix (VQA) mode and keeps the [CLS] in plain
+        caption mode (decoder.py:980-1006) — for beam mode with
+        num_keep_best==1 the keep axis is squeezed like the reference
+        (decoder.py:1288-1289).  num_return_sequences>1 replicates each
+        input R times on the batch axis (decoder.py:1093-1096) — outputs
+        stay flat [B*R, ...].
         """
         from ..decode import BeamSearchConfig, beam_search, greedy_search
 
         visual = self.encode_images(params, images, dtype)
         bsz = visual.shape[0]
+        strip = prefix_tokens is not None
         if prefix_tokens is None:
             prefix_tokens = jnp.full((bsz, 1), sos_id, jnp.int32)
         if num_return_sequences > 1:
@@ -184,7 +188,7 @@ class GitModel(object):
             prefix_tokens = jnp.repeat(prefix_tokens, num_return_sequences, axis=0)
             if memory_valid is not None:
                 memory_valid = jnp.repeat(memory_valid, num_return_sequences, axis=0)
-        tp = prefix_tokens.shape[1]
+        tp = prefix_tokens.shape[1] if strip else 0
         if mode == "beam":
             beam = beam or BeamSearchConfig()
             logits, cache = self.prefill(

@@ -144,11 +144,9 @@ class ScstTrainer(object):
         sample_r = self._rewards(sample_caps, gts_rep)
         advantages = sample_r - np.repeat(baseline, n)
 
-        # teacher-forcing input: [CLS] + generated tokens
-        gen = np.asarray(sampled_seqs)
-        seqs = np.concatenate(
-            [np.full((b * n, 1), self.sos_id, np.int32), gen], axis=1
-        )
+        # teacher-forcing input: sampled sequences already start with
+        # [CLS] (generate keeps it when no explicit prefix is given)
+        seqs = np.asarray(sampled_seqs)
         images_rep = jnp.repeat(images, n, axis=0)
         state, loss = self._grad_step(
             state, images_rep, jnp.asarray(seqs), jnp.asarray(advantages)

@@ -40,7 +40,7 @@ def test_data_parallel_generate():
     imgs = jax.device_put(imgs, NamedSharding(mesh, P("data", None, None, None)))
     with jax.sharding.set_mesh(mesh):
         seqs, lps = serve(params, imgs)
-    assert seqs.shape == (16, 7)
+    assert seqs.shape == (16, 8)  # incl. [CLS]: no explicit prefix -> no strip
     assert np.isfinite(np.asarray(lps)).all()
 
     # sharded result must equal the single-device result
@@ -68,4 +68,4 @@ def test_tensor_parallel_generate():
     imgs = jax.device_put(imgs, NamedSharding(mesh, P("data", None, None, None)))
     with jax.sharding.set_mesh(mesh):
         seqs, _ = serve(params, imgs)
-    assert seqs.shape == (8, 5)
+    assert seqs.shape == (8, 6)

@@ -93,3 +93,30 @@ def test_evaluate_on_coco_caption_tsv_roundtrip(tmp_path):
     outfile = str(tmp_path / "pred.eval.json")
     with open(outfile) as fp:
         assert json.load(fp) == result
+
+
+def test_cider_hand_computed_value():
+    """CIDEr-D for a case small enough to verify by hand.
+
+    Corpus: 2 images, 1 reference each.  Candidate for image 'a' equals
+    its reference exactly; candidate 'b' shares nothing with its ref.
+
+    For image a (len 2, ref len 2, penalty e^0 = 1):
+      1-grams: 'the' appears in both refs -> idf = ln(2/2) = 0;
+               'cat' only in ref a -> idf = ln(2/1) = ln2.
+      candidate tf-idf vec = ref vec = {the:0, cat:ln2};
+      cosine similarity = 1 for n=1.
+      2-grams: ('the','cat') idf = ln2; identical vectors -> sim = 1.
+      3-,4-grams: no n-grams of that order (len 2) -> contribute 0.
+    score_a = 10 * (1 + 1 + 0 + 0) / 4 = 5.0
+    score_b = 0 (no overlap).
+    """
+    from gitax.evalcap.cider import CiderD
+
+    cands = {"a": ["the", "cat"], "b": ["blue", "sky"]}
+    refs = {"a": [["the", "cat"]], "b": [["green", "grass"]]}
+    mean, scores = CiderD().compute(cands, refs)
+    by_id = dict(zip(sorted(cands), scores))
+    assert abs(by_id["a"] - 5.0) < 1e-9, by_id
+    assert by_id["b"] == 0.0
+    assert abs(mean - 2.5) < 1e-9

@@ -200,3 +200,44 @@ def test_trie_cli_classification(tmp_path, monkeypatch):
         img_path, "CLS_MODEL", "", vocab_file=str(tmp_path / "names.txt")
     )
     assert out in {"dog", "cat", "truck"}, out
+
+
+def test_vqa_cli_workflow(tmp_path, monkeypatch):
+    """question_tsv path through the CLI: answers TSV -> evalai json
+    (reference inference.py:171-199, 227-229)."""
+    monkeypatch.chdir(tmp_path)
+    model_name = make_checkpoint(tmp_path, "TINY_VQA_MODEL")
+    import gitax.inference as inf
+    from gitax.models import GitConfig, ViTConfig
+
+    tiny_cfg = GitConfig(
+        encoder=ViTConfig(16, 64, 2, 2, 32),
+        visual_feature_size=64,
+        vocab_size=30522,
+        hidden_size=48,
+        num_layers=2,
+        num_heads=4,
+        feedforward_size=96,
+        max_caption_length=64,
+    )
+    monkeypatch.setattr(
+        "gitax.models.git.config_from_param", lambda param=None: tiny_cfg
+    )
+    monkeypatch.setattr(inf, "_load_param", lambda name: {"test_crop_size": 32})
+    tsv_writer([["im{}".format(i), jpeg_b64(i)] for i in range(2)], "img.tsv")
+    tsv_writer(
+        [
+            ["im0", json_dump([{"question": "what color", "question_id": 1}])],
+            ["im1", json_dump([{"question": "how many", "question_id": 2},
+                               {"question": "is it red", "question_id": 3}])],
+        ],
+        "q.tsv",
+    )
+    inf.test_git_inference_single_tsv("img.tsv", model_name, "q.tsv", "ans.tsv",
+                                      batch_size=2)
+    rows = [json.loads(r[0]) for r in TSVFile("ans.tsv")]
+    assert sorted(r["question_id"] for r in rows) == [1, 2, 3]
+    inf.convert_tsv_to_vqa_json("ans.tsv", "vqa.json")
+    with open("vqa.json") as fp:
+        sub = json.load(fp)
+    assert len(sub) == 3 and all("answer" in r for r in sub)

@@ -34,7 +34,14 @@ ITERS = int(os.environ.get("GITAX_BENCH_ITERS", "3"))
 
 
 def main():
+    import dataclasses
+
     model = GitModel.from_param(get_model_param("GIT_LARGE_COCO"))
+    # production speed mode: activation-dtype softmax in the encoder
+    # (~15% faster ViT-L encode; decoder score math stays f32)
+    model.cfg = dataclasses.replace(
+        model.cfg, encoder=dataclasses.replace(model.cfg.encoder, fast_softmax=True)
+    )
     params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     beam = BeamSearchConfig(num_beams=4, max_steps=MAX_STEPS)
 

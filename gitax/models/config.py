@@ -25,6 +25,10 @@ class ViTConfig:
     heads: int
     input_resolution: int = 224
     ln_eps: float = 1e-5
+    # compute attention scores/softmax in the activation dtype instead of
+    # f32 — ~15% faster ViT-L encode in bf16 on v5e; encoder-only (the
+    # decoder's score math stays f32 for beam parity).  Off by default.
+    fast_softmax: bool = False
 
     @property
     def grid(self):

@@ -50,19 +50,19 @@ def merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
 
 
-def attention_weights(q, k, mask=None):
-    """softmax(q k^T / sqrt(d) + mask) with fp32 softmax.
+def attention_weights(q, k, mask=None, fast=False):
+    """softmax(q k^T / sqrt(d) + mask); f32 score math by default,
+    activation-dtype when fast=True (encoder speed mode).
 
     q: [B,H,Tq,Dh], k: [B,H,Tk,Dh], mask: additive, broadcastable to
     [B,H,Tq,Tk] (0 = attend, -inf = blocked).
     """
     dh = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
+    acc = q.dtype if fast else jnp.float32
+    scale = jnp.asarray(1.0 / (dh ** 0.5), acc)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc) * scale
     if mask is not None:
-        scores = scores + mask.astype(jnp.float32)
+        scores = scores + mask.astype(acc)
     return jax.nn.softmax(scores, axis=-1)
 
 
@@ -74,13 +74,14 @@ def qkv_project(x, params, num_heads):
     return tuple(split_heads(t, num_heads) for t in (q, k, v))
 
 
-def self_attention(x, params, num_heads, mask=None, flash=False):
+def self_attention(x, params, num_heads, mask=None, flash=False, fast=False):
     """Multi-head self-attention with fused-qkv parameters.
 
     params: {'qkv': {'kernel' [D,3D], 'bias' [3D]}, 'out': {'kernel'
     [D,D], 'bias' [D]}}.  Both GIT towers are self-attention over one
     (possibly combined [memory;text]) sequence.  flash=True routes the
-    unmasked case through the Pallas fused kernel (TPU inference path).
+    unmasked case through the Pallas fused kernel (TPU inference path);
+    fast=True keeps score math in the activation dtype.
     """
     q, k, v = qkv_project(x, params, num_heads)
     if flash and mask is None:
@@ -88,7 +89,7 @@ def self_attention(x, params, num_heads, mask=None, flash=False):
 
         ctx = fused_attention(q, k, v)
     else:
-        probs = attention_weights(q, k, mask).astype(v.dtype)
+        probs = attention_weights(q, k, mask, fast=fast).astype(v.dtype)
         ctx = jnp.einsum(
             "bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype
         )

@@ -80,9 +80,9 @@ def init_vit_params(key, cfg: ViTConfig, dtype=jnp.float32):
     }
 
 
-def _block(x, bp, num_heads, ln_eps, flash=False):
+def _block(x, bp, num_heads, ln_eps, flash=False, fast=False):
     h1 = layer_norm(x, bp["ln_1"], ln_eps)
-    x = x + self_attention(h1, bp["attn"], num_heads, flash=flash)
+    x = x + self_attention(h1, bp["attn"], num_heads, flash=flash, fast=fast)
     h = layer_norm(x, bp["ln_2"], ln_eps)
     h = linear(quick_gelu(linear(h, bp["mlp"]["c_fc"])), bp["mlp"]["c_proj"])
     return x + h
@@ -131,7 +131,13 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None,
     x = layer_norm(x, params["ln_pre"], cfg.ln_eps)
 
     def scan_fn(carry, bp):
-        return _block(carry, bp, cfg.heads, cfg.ln_eps, flash=flash), None
+        return (
+            _block(
+                carry, bp, cfg.heads, cfg.ln_eps, flash=flash,
+                fast=cfg.fast_softmax,
+            ),
+            None,
+        )
 
     x, _ = jax.lax.scan(scan_fn, x, params["blocks"])
     if not output_grid:

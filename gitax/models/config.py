@@ -119,6 +119,8 @@ def config_from_param(param: Optional[dict] = None) -> GitConfig:
     param = param or {}
     encoder = ENCODERS[param.get("image_encoder_type", "CLIPViT_B_16")]
     encoder = encoder.with_resolution(param.get("test_crop_size", 224))
+    if param.get("fast_softmax"):  # gitax extension (speed mode)
+        encoder = dataclasses.replace(encoder, fast_softmax=True)
     return GitConfig(
         encoder=encoder,
         visual_feature_size=param.get("visual_feature_size", 768),

@@ -264,9 +264,14 @@ def beam_search(
         word_id = next_idx % v
 
         # done check uses hypothesis state from BEFORE this step's adds
-        # (decoder.py:1187)
+        # (decoder.py:1187) against the BEST candidate (the reference's
+        # next_scores.max(); [:, 0] is only the max in the sorted greedy
+        # path — sampled candidates are beam-major, unsorted)
+        best_cand = (
+            jnp.max(next_scores, axis=1) if cfg.do_sample else next_scores[:, 0]
+        )
         newly_done = (st["hyp_count"] >= n) & (
-            jnp.min(st["hyp_scores"], axis=1) >= next_scores[:, 0] / done_norm
+            jnp.min(st["hyp_scores"], axis=1) >= best_cand / done_norm
         )
         done_now = st["done"] | newly_done
 

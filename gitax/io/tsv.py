@@ -103,7 +103,15 @@ def tsv_reader(tsv_file, sep="\t"):
 
 
 def tsv_writer(rows, tsv_file, sep="\t"):
-    """Write rows plus both offset indices (reference tsv_io.py:356-374)."""
+    """Write rows plus both offset indices (reference tsv_io.py:356-374).
+
+    All three files are written to ``*.tmp`` paths and atomically renamed
+    into place at the end — index files first, data file LAST — so a
+    concurrent reader polling ``isfile(x.tsv)`` (the rank-0 shard barrier,
+    reference inference.py:214-225) never observes a partially written
+    shard or a data file without its offset tables.  The reference got
+    the same guarantee implicitly from azfuse close-time upload.
+    """
     d = op.dirname(tsv_file)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -111,9 +119,9 @@ def tsv_writer(rows, tsv_file, sep="\t"):
     lineidx_8b = lineidx + ".8b"
     sep_b = sep.encode()
     offset = 0
-    with open(tsv_file, "wb") as fp, open(lineidx, "w") as fpidx, open(
-        lineidx_8b, "wb"
-    ) as fp8b:
+    with open(tsv_file + ".tmp", "wb") as fp, open(
+        lineidx + ".tmp", "w"
+    ) as fpidx, open(lineidx_8b + ".tmp", "wb") as fp8b:
         for row in rows:
             assert row is not None
             cells = [v if isinstance(v, bytes) else str(v).encode() for v in row]
@@ -122,6 +130,9 @@ def tsv_writer(rows, tsv_file, sep="\t"):
             fpidx.write(str(offset) + "\n")
             fp8b.write(offset.to_bytes(8, "little"))
             offset += len(line)
+    os.replace(lineidx + ".tmp", lineidx)
+    os.replace(lineidx_8b + ".tmp", lineidx_8b)
+    os.replace(tsv_file + ".tmp", tsv_file)
 
 
 def concat_tsv_files(tsvs, out_tsv):

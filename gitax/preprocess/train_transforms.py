@@ -54,14 +54,25 @@ def random_resized_crop_params(
     return left, top, w, h
 
 
+def _resolve_interpolation(interpolation):
+    """Reference semantics (data_layer/transform.py:73-76): None ->
+    BILINEAR, 'bicubic' -> BICUBIC, else pass through a PIL constant."""
+    if interpolation is None:
+        return Image.BILINEAR
+    if interpolation == "bicubic":
+        return Image.BICUBIC
+    return interpolation
+
+
 def inception_crop(img: Image.Image, crop_size: int, small_scale=0.8,
-                   no_aspect_dist=True, rng=None) -> Image.Image:
+                   no_aspect_dist=True, rng=None,
+                   interpolation=Image.BILINEAR) -> Image.Image:
     ratio = (1.0, 1.0) if no_aspect_dist else (3.0 / 4.0, 4.0 / 3.0)
     left, top, w, h = random_resized_crop_params(
         img.size[0], img.size[1], scale=(small_scale, 1.0), ratio=ratio, rng=rng
     )
     return img.crop((left, top, left + w, top + h)).resize(
-        (crop_size, crop_size), Image.BICUBIC
+        (crop_size, crop_size), _resolve_interpolation(interpolation)
     )
 
 
@@ -81,7 +92,11 @@ class TrainTransform(object):
         mean=CLIP_MEAN,
         std=CLIP_STD,
         seed: Optional[int] = None,
+        interpolation="bicubic",
     ):
+        # default 'bicubic' = the reference training example recipe
+        # (train.py:220,260); the reference function default is BILINEAR
+        # (data_layer/transform.py:71) — pass interpolation=None for that
         if min_size_range32 is None:
             self.crop_sizes = [train_crop_size]
         else:
@@ -92,6 +107,7 @@ class TrainTransform(object):
         self.small_scale = small_scale
         self.no_aspect_dist = no_aspect_dist
         self.mean, self.std = mean, std
+        self.interpolation = _resolve_interpolation(interpolation)
         self.rng = random.Random(seed) if seed is not None else random
 
     def crop_size_for(self, iteration: int) -> int:
@@ -101,7 +117,8 @@ class TrainTransform(object):
         out = dict(data)
         size = self.crop_size_for(data.get("iteration", 0))
         img = inception_crop(
-            data["image"], size, self.small_scale, self.no_aspect_dist, self.rng
+            data["image"], size, self.small_scale, self.no_aspect_dist, self.rng,
+            interpolation=self.interpolation,
         )
         out["image"] = to_normalized_array(img, self.mean, self.std)
         return out

@@ -8,7 +8,8 @@ Mirrors the reference transform semantics (inference.py:111-132):
 
 The PIL path is kept for bit-parity with the reference's host pipeline;
 the arrays it emits are HWC float32 (NHWC once batched), the layout TPUs
-prefer.  A fused on-device path lives in ``gitax.preprocess.device``.
+prefer.  The fused on-device normalization for the native uint8 decode
+path lives in ``gitax.runtime.pipeline.CaptionEngine._caption_fn``.
 """
 
 from __future__ import annotations

@@ -123,8 +123,11 @@ class CaptionEngine(object):
 
             from ..preprocess.transforms import CLIP_MEAN, CLIP_STD
 
-            mean = jnp.asarray(CLIP_MEAN)
-            std = jnp.asarray(CLIP_STD)
+            # fused normalization must use the transform's configured
+            # constants (a TestTransform may carry IMAGENET or custom
+            # mean/std), falling back to CLIP only if absent
+            mean = jnp.asarray(getattr(self.transform, "mean", CLIP_MEAN))
+            std = jnp.asarray(getattr(self.transform, "std", CLIP_STD))
 
             @jax.jit
             def fn(params, images, prefix):

@@ -80,3 +80,25 @@ def test_fork_safety(tmp_path):
     _, status = os.waitpid(pid, 0)
     assert os.waitstatus_to_exitcode(status) == 0
     assert t[4][0] == "k4"
+
+
+def test_writer_is_atomic(tmp_path):
+    """The data file must appear only after its offset indices exist and
+    all writes are complete (shard-barrier safety), and no *.tmp
+    intermediates may be left behind."""
+    p = tmp_path / "atomic.tsv"
+
+    def rows():
+        # while the writer is mid-stream, the final path must not exist
+        yield ["k0", "v0"]
+        assert not p.exists()
+        assert (tmp_path / "atomic.tsv.tmp").exists()
+        yield ["k1", "v1"]
+
+    tsv_writer(rows(), str(p))
+    assert p.exists()
+    assert (tmp_path / "atomic.lineidx").exists()
+    assert (tmp_path / "atomic.lineidx.8b").exists()
+    assert not list(tmp_path.glob("*.tmp"))
+    t = TSVFile(str(p))
+    assert [t.get_key(i) for i in range(2)] == ["k0", "k1"]

@@ -81,25 +81,52 @@ class GitModel(object):
 
     def append_text_context(self, params, visual, context_tokens, context_lengths,
                             dtype=jnp.float32):
-        """Concat embedded text context onto the visual memory with a
+        """Concat embedded text context(s) onto the visual memory with a
         validity mask (reference batch['context'] path,
-        decoder.py:861-871).  The reference embeds context with the
-        decoder's word embedding and concatenates it to the RAW visual
-        features before the visual projection — which only type-checks
-        when visual_feature_size == hidden_size (GIT_BASE); we keep that
-        constraint.  Returns (memory [B, M+Tc, D], memory_valid [B, M+Tc])."""
+        decoder.py:859-871).  The reference embeds each context with the
+        decoder's word+positional embedding (the shared
+        WordAndPositionalEmbedding — positions restart at 0 per context)
+        and concatenates it to the RAW visual features before the visual
+        projection — which only type-checks when visual_feature_size ==
+        hidden_size (GIT_BASE); we keep that constraint.  (The
+        `context_not_share_embedding` branch, decoder.py:824-825, calls a
+        nonexistent nn.Module.clone() and cannot execute; not carried.)
+
+        context_tokens: [B, Tc] int32, or a list of such arrays (the
+        reference's list-of-contexts); context_lengths: [B] int32 per
+        context.  Returns (memory [B, M+sum(Tc), D],
+        memory_valid [B, M+sum(Tc)])."""
         from .textual import embed_captions
 
         assert self.cfg.visual_feature_size == self.cfg.hidden_size, (
             "text context requires visual_feature_size == hidden_size "
             "(as in the reference, decoder.py:863-870)"
         )
-        b, tc = context_tokens.shape
-        ctx = embed_captions(params["textual"], context_tokens, self.cfg).astype(dtype)
-        memory = jnp.concatenate([visual.astype(dtype), ctx], axis=1)
-        visual_valid = jnp.ones((b, visual.shape[1]), bool)
-        ctx_valid = jnp.arange(tc)[None, :] < context_lengths[:, None]
-        return memory, jnp.concatenate([visual_valid, ctx_valid], axis=1)
+        if not isinstance(context_tokens, (list, tuple)):
+            context_tokens = [context_tokens]
+            context_lengths = [context_lengths]
+        b = visual.shape[0]
+        parts = [visual.astype(dtype)]
+        valids = [jnp.ones((b, visual.shape[1]), bool)]
+        for tokens, lengths in zip(context_tokens, context_lengths):
+            tc = tokens.shape[1]
+            parts.append(
+                embed_captions(params["textual"], tokens, self.cfg).astype(dtype)
+            )
+            valids.append(jnp.arange(tc)[None, :] < lengths[:, None])
+        return jnp.concatenate(parts, axis=1), jnp.concatenate(valids, axis=1)
+
+    def build_memory(self, params, images, context_tokens=None,
+                     context_lengths=None, dtype=jnp.float32, flash=None):
+        """Encode images and, when text context is given, append it —
+        the memory-construction half of the reference forward_one
+        (decoder.py:843-871).  Returns (memory, memory_valid|None)."""
+        visual = self.encode_images(params, images, dtype, flash=flash)
+        if context_tokens is None:
+            return visual, None
+        return self.append_text_context(
+            params, visual, context_tokens, context_lengths, dtype
+        )
 
     # -- training forward -------------------------------------------------
     def forward_logits(
@@ -109,12 +136,20 @@ class GitModel(object):
         caption_tokens,
         memory_valid=None,
         bi_valid_mask=None,
+        context_tokens=None,
+        context_lengths=None,
         dtype=jnp.float32,
     ):
         """[B,T] caption logits given images; the training/teacher-forcing
-        path (decoder.py:926-932).  Uses the differentiable XLA attention
-        (no Pallas) so it is safe under jax.grad."""
-        visual = self.encode_images(params, images, dtype, flash=False)
+        path (decoder.py:926-932).  Optional text context is appended to
+        the memory (decoder.py:859-871).  Uses the differentiable XLA
+        attention (no Pallas) so it is safe under jax.grad."""
+        visual, ctx_valid = self.build_memory(
+            params, images, context_tokens, context_lengths, dtype, flash=False
+        )
+        if ctx_valid is not None:
+            assert memory_valid is None, "pass context XOR memory_valid"
+            memory_valid = ctx_valid
         return textual_forward(
             params["textual"],
             visual,
@@ -163,8 +198,12 @@ class GitModel(object):
         num_return_sequences=1,
         rng=None,
         trie=None,
+        context_tokens=None,
+        context_lengths=None,
     ):
         """Caption/answer generation (reference infer, decoder.py:977-1011).
+        Optional text context is appended to the memory with a validity
+        mask (decoder.py:859-871) before decoding.
 
         prefix_tokens: [B, Tp] ([CLS] alone for captioning; [CLS]+question
         for VQA).  Returns (sequences, logprobs); when prefix_tokens is
@@ -178,7 +217,12 @@ class GitModel(object):
         """
         from ..decode import BeamSearchConfig, beam_search, greedy_search
 
-        visual = self.encode_images(params, images, dtype)
+        visual, ctx_valid = self.build_memory(
+            params, images, context_tokens, context_lengths, dtype
+        )
+        if ctx_valid is not None:
+            assert memory_valid is None, "pass context XOR memory_valid"
+            memory_valid = ctx_valid
         bsz = visual.shape[0]
         strip = prefix_tokens is not None
         if prefix_tokens is None:

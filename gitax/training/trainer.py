@@ -55,6 +55,10 @@ def make_train_step(model: GitModel, tx: Optional[optax.GradientTransformation] 
 
     batch: {'image': [B,H,W,3] or [B,F,H,W,3], 'caption_tokens': [B,T],
             'need_predict': [B,T]}  (reference train.py:38-73 protocol).
+    Optional 'context_tokens' [B,Tc] + 'context_lengths' [B] append text
+    context to the memory (reference batch['context'],
+    decoder.py:859-871); optional 'bi_valid_mask' [B,T] opens full
+    attention to the marked caption positions.
 
     remat=True rematerializes the image-encoder forward in the backward
     pass (jax.checkpoint) — trades ~1/3 extra encoder FLOPs for dropping
@@ -64,7 +68,13 @@ def make_train_step(model: GitModel, tx: Optional[optax.GradientTransformation] 
 
     def forward(params, batch):
         return model.forward_logits(
-            params, batch["image"], batch["caption_tokens"], dtype=dtype
+            params,
+            batch["image"],
+            batch["caption_tokens"],
+            bi_valid_mask=batch.get("bi_valid_mask"),
+            context_tokens=batch.get("context_tokens"),
+            context_lengths=batch.get("context_lengths"),
+            dtype=dtype,
         )
 
     if remat:

@@ -160,3 +160,193 @@ def test_training_loss_end_to_end():
         caption_loss(logits, jnp.asarray(tokens, jnp.int32), jnp.asarray(need))
     )
     assert abs(ours - ref_loss) < 1e-4, (ours, ref_loss)
+
+
+# -- text-context path (reference batch['context'], decoder.py:859-877) ----
+
+CTX_CFG = GitConfig(
+    encoder=ViTConfig(16, 48, 2, 2, 32),
+    visual_feature_size=48,  # context requires Dv == hidden (decoder.py:863-870)
+    vocab_size=128,
+    hidden_size=48,
+    num_layers=2,
+    num_heads=4,
+    feedforward_size=96,
+    max_caption_length=32,
+)
+
+
+def build_ctx_reference(beam_size=4, max_steps=12):
+    torch.manual_seed(33)
+    vit = clip_model.VisualTransformer(
+        input_resolution=32, patch_size=16, width=48, layers=2, heads=2,
+        output_dim=48, output_grid=True, grid_after_ln=True)
+    txt = ref_decoder.TransformerDecoderTextualHead(
+        visual_feature_size=48, vocab_size=128, hidden_size=48, num_layers=2,
+        attention_heads=4, feedforward_size=96, max_caption_length=32,
+        mask_future_positions=True, padding_idx=0, decoder_type="bert_en",
+        visual_projection_type="linearLn")
+    gen = ref_decoder.GeneratorWithBeamSearch(
+        eos_index=EOS, max_steps=max_steps, beam_size=beam_size,
+        length_penalty=0.6)
+    model = ref_decoder.CaptioningModel(
+        vit, txt, decoder=gen, sos_index=SOS, eos_index=EOS,
+        use_history_for_infer=True, loss_type="smooth")
+    return model.eval()
+
+
+def _cpu_convert2valid(monkeypatch):
+    # the reference helper hardcodes device='cuda' (decoder.py:612)
+    orig = ref_decoder.convert2valid
+
+    def cpu(shape, length=None, device="cpu"):
+        return orig(shape, length=length, device="cpu")
+
+    monkeypatch.setattr(ref_decoder, "convert2valid", cpu)
+
+
+def _ctx_batch(rng, b=2):
+    img = rng.randn(b, 32, 32, 3).astype(np.float32)
+    ctx1 = rng.randint(1, 128, (b, 5)).astype(np.int64)
+    len1 = np.asarray([5, 3][:b], np.int64)
+    ctx2 = rng.randint(1, 128, (b, 4)).astype(np.int64)
+    len2 = np.asarray([2, 4][:b], np.int64)
+    return img, [(ctx1, len1), (ctx2, len2)]
+
+
+def test_context_training_loss_end_to_end(monkeypatch):
+    """CE path with two text contexts appended to the memory
+    (decoder.py:859-871 + 916-975)."""
+    _cpu_convert2valid(monkeypatch)
+    ref = build_ctx_reference()
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    import dataclasses
+
+    model = GitModel(CTX_CFG)
+    params = convert_git_state_dict(ref.state_dict(), CTX_CFG)
+    rng = np.random.RandomState(7)
+    img, ctxs = _ctx_batch(rng)
+    tokens = np.asarray([[SOS, 5, 9, 14, EOS], [SOS, 7, 3, EOS, 0]], np.int64)
+    need = np.asarray([[0, 1, 1, 1, 1], [0, 1, 1, 1, 0]], np.int64)
+    with torch.no_grad():
+        out = ref(
+            {
+                "image": torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                "caption_tokens": torch.from_numpy(tokens),
+                "need_predict": torch.from_numpy(need),
+                "context": [
+                    {"tokens": torch.from_numpy(t), "length": torch.from_numpy(l)}
+                    for t, l in ctxs
+                ],
+            }
+        )
+    ref_loss = float(out["vl_l_loss"])
+    logits = model.forward_logits(
+        params,
+        jnp.asarray(img),
+        jnp.asarray(tokens, jnp.int32),
+        context_tokens=[jnp.asarray(t, jnp.int32) for t, _ in ctxs],
+        context_lengths=[jnp.asarray(l, jnp.int32) for _, l in ctxs],
+    )
+    ours = float(
+        caption_loss(logits, jnp.asarray(tokens, jnp.int32), jnp.asarray(need))
+    )
+    assert abs(ours - ref_loss) < 1e-4, (ours, ref_loss)
+
+
+def test_context_generate_beam1_end_to_end(monkeypatch):
+    """Decode over [visual; context] memory with a RAGGED validity mask
+    (decoder.py:859-871 + infer).  beam_size=1 because the reference's
+    own decoding_step tiles visual_features across beams but not
+    visual_features_valid (decoder.py:1017-1042), so context + beam>1
+    crashes in the reference — beam 1 is its only executable config
+    here."""
+    _cpu_convert2valid(monkeypatch)
+    ref = build_ctx_reference(beam_size=1)
+    model = GitModel(CTX_CFG)
+    params = convert_git_state_dict(ref.state_dict(), CTX_CFG)
+    rng = np.random.RandomState(8)
+    img, ctxs = _ctx_batch(rng)
+    with torch.no_grad():
+        out = ref(
+            {
+                "image": torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                "context": [
+                    {"tokens": torch.from_numpy(t), "length": torch.from_numpy(l)}
+                    for t, l in ctxs
+                ],
+            }
+        )
+    seqs, lps = model.generate(
+        params,
+        jnp.asarray(img),
+        beam=BeamSearchConfig(num_beams=1, per_node_beam_size=1, max_steps=12,
+                              eos_id=EOS),
+        sos_id=SOS,
+        context_tokens=[jnp.asarray(t, jnp.int32) for t, _ in ctxs],
+        context_lengths=[jnp.asarray(l, jnp.int32) for _, l in ctxs],
+    )
+    np.testing.assert_array_equal(np.asarray(seqs), out["predictions"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(lps), out["logprobs"].numpy()[:, 0], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_context_generate_beam4_full_valid(monkeypatch):
+    """Beam-4 with context: the reference can't run its own beam>1
+    context path (see above), but with FULLY-valid contexts the validity
+    mask is a no-op, so the oracle is ref.infer over a manually
+    constructed [visual ; embedded-context] memory with no mask — the
+    same construction forward_one performs (decoder.py:859-871)."""
+    _cpu_convert2valid(monkeypatch)
+    ref = build_ctx_reference(beam_size=4)
+    model = GitModel(CTX_CFG)
+    params = convert_git_state_dict(ref.state_dict(), CTX_CFG)
+    rng = np.random.RandomState(11)
+    img = rng.randn(2, 32, 32, 3).astype(np.float32)
+    ctx = rng.randint(1, 128, (2, 5)).astype(np.int64)
+    full_len = np.asarray([5, 5], np.int64)
+    with torch.no_grad():
+        vis = ref.image_encoder(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        emb = ref.textual.embedding(torch.from_numpy(ctx))
+        memory = torch.cat([vis, emb], dim=1)
+        out = ref.infer({}, memory, None)
+    seqs, lps = model.generate(
+        params,
+        jnp.asarray(img),
+        beam=BeamSearchConfig(num_beams=4, max_steps=12, eos_id=EOS),
+        sos_id=SOS,
+        context_tokens=jnp.asarray(ctx, jnp.int32),
+        context_lengths=jnp.asarray(full_len, jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(seqs), out["predictions"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(lps), out["logprobs"].numpy()[:, 0], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_context_train_step_grads_flow():
+    """make_train_step with context keys: loss finite, grads nonzero."""
+    import jax as _jax
+    from gitax.training.trainer import init_train_state, make_train_step
+
+    model = GitModel(CTX_CFG)
+    state = init_train_state(model, _jax.random.PRNGKey(0))
+    step = _jax.jit(make_train_step(model))
+    rng = np.random.RandomState(9)
+    img, ctxs = _ctx_batch(rng)
+    batch = {
+        "image": jnp.asarray(img),
+        "caption_tokens": jnp.asarray(
+            [[SOS, 5, 9, EOS], [SOS, 7, 3, EOS]], jnp.int32
+        ),
+        "need_predict": jnp.asarray([[0, 1, 1, 1], [0, 1, 1, 1]], jnp.int32),
+        "context_tokens": jnp.asarray(ctxs[0][0], jnp.int32),
+        "context_lengths": jnp.asarray(ctxs[0][1], jnp.int32),
+    }
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0

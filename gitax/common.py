@@ -195,15 +195,17 @@ def parse_general_args(argv=None):
     kwargs = {}
     if args.config_file:
         kwargs.update(load_from_yaml_file(args.config_file))
+    # merge semantics match the reference (common.py:354-376): a key is
+    # SET when absent — even to None — and overwritten when different
     if args.base64_param:
         for k, v in load_from_yaml_str(base64.b64decode(args.base64_param)).items():
-            if kwargs.get(k) != v:
+            if k not in kwargs or kwargs[k] != v:
                 kwargs[k] = v
     if args.param:
         configs = load_from_yaml_str(args.param)
         dict_ensure_path_key_converted(configs)
         for k, v in configs.items():
-            if kwargs.get(k) != v:
+            if k not in kwargs or kwargs[k] != v:
                 kwargs[k] = v
     return kwargs
 

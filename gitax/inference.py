@@ -71,7 +71,28 @@ def _build_model(model_name, param, dtype=None):
     ckpt_path = "output/{}/snapshot/model.pt".format(model_name)
     if op.isfile(ckpt_path):
         logging.info("loading %s", ckpt_path)
-        params = convert_git_state_dict(load_torch_checkpoint(ckpt_path), model.cfg)
+        sd = load_torch_checkpoint(ckpt_path)
+        # the checkpoint defines the true encoder architecture (the
+        # reference derives it from the CLIP archive shapes,
+        # CLIP/model.py:402-425); override the zoo/param-derived encoder
+        # when the shapes disagree so non-standard checkpoints load
+        if any(k.startswith("image_encoder.conv1.") for k in sd):
+            import dataclasses
+
+            from .ckpt.torch_convert import infer_visual_config
+
+            kind, enc = infer_visual_config(sd, prefix="image_encoder.")
+            if kind == "vit":
+                enc = dataclasses.replace(
+                    enc, fast_softmax=model.cfg.encoder.fast_softmax
+                )
+            if kind == "vit" and enc != model.cfg.encoder:
+                logging.info(
+                    "encoder config from checkpoint: %s (param said %s)",
+                    enc, model.cfg.encoder,
+                )
+                model = GitModel(dataclasses.replace(model.cfg, encoder=enc))
+        params = convert_git_state_dict(sd, model.cfg)
     else:
         logging.warning(
             "checkpoint %s not found; using random init (outputs are "
@@ -144,9 +165,14 @@ def test_git_inference_single_image(image_path, model_name, prefix="",
 
 
 def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
-                                  batch_size=32):
+                                  batch_size=32, dtype="bfloat16",
+                                  use_native=None):
     """Sharded batch inference over a base64-image TSV
-    (reference inference.py:134-225), batched on device."""
+    (reference inference.py:134-225), batched on device.
+
+    dtype: 'bfloat16' (production) or 'float32' (bit-parity with the
+    torch reference).  use_native: force the native C++ decode path on
+    (True) / off (False, exact PIL preprocessing) / auto (None)."""
     import jax.numpy as jnp
 
     from .decode import BeamSearchConfig
@@ -157,8 +183,9 @@ def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
         param = load_from_yaml_file("output/{}/parameter.yaml".format(model_name))
     else:
         param = _load_param(model_name)
+    jdtype = jnp.dtype(dtype)
     tokenizer = _load_tokenizer()
-    model, params = _build_model(model_name, param, dtype=jnp.bfloat16)
+    model, params = _build_model(model_name, param, dtype=jdtype)
     engine = CaptionEngine(
         model,
         params,
@@ -166,7 +193,8 @@ def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
         get_image_transform(param),
         batch_size=batch_size,
         beam=BeamSearchConfig(num_beams=4, max_steps=40),
-        dtype=jnp.bfloat16,
+        dtype=jdtype,
+        use_native=use_native,
     )
     rank, world = get_mpi_rank(), get_mpi_size()
     if question_tsv:

@@ -327,6 +327,16 @@ class CaptionEngine(object):
     # -- TSV VQA pipeline ---------------------------------------------------
     def run_vqa_tsv(self, image_tsv_path, question_tsv_path, out_tsv,
                     rank=0, world_size=1):
+        """Batched VQA over aligned image/question TSVs.
+
+        Pipelined like the caption path: images are decoded ONCE each by
+        the prefetching thread pool while the device runs, (image,
+        prefix) pairs are bucketed by prefix length so every compiled
+        program sees a static [B, Tp] shape, full buckets dispatch
+        asynchronously, and answers are emitted in the REFERENCE row
+        order — image-major, question order within an image
+        (inference.py:178-199) — so output TSVs match byte-for-byte.
+        """
         image_tsv = TSVFile(image_tsv_path)
         question_tsv = TSVFile(question_tsv_path)
         assert len(image_tsv) == len(question_tsv)
@@ -338,33 +348,61 @@ class CaptionEngine(object):
         )
 
         def rows():
-            # gather (image_idx, question) pairs, bucket by prefix length
-            buckets = collections.defaultdict(list)  # tp -> [(img_idx, qid, prefix)]
-            for i in range(start, end):
-                ik = image_tsv.get_key(i)
-                qrow = question_tsv[i]
-                assert ik == qrow[0], (ik, qrow[0])  # key alignment (inference.py:176)
-                for q in json.loads(qrow[1]):
-                    prefix = self.encode_prefix(q["question"])
-                    buckets[len(prefix)].append((i, q["question_id"], prefix))
-            for tp in sorted(buckets):
-                items = buckets[tp]
-                b = self.batch_size
-                for off in range(0, len(items), b):
-                    chunk = items[off : off + b]
-                    arrs = self._decode_chunk([image_tsv[i][1] for i, _, _ in chunk])
-                    keep = [
-                        (a, qid, p)
-                        for a, (_, qid, p) in zip(arrs, chunk)
-                        if a is not None
-                    ]
-                    if not keep:
+            idxs = list(range(start, end))
+            dchunk = max(1, self.batch_size // 4)  # decode-prefetch granule
+            chunks = [idxs[i : i + dchunk] for i in range(0, len(idxs), dchunk)]
+            futures = collections.deque()
+
+            def submit(batch_idxs):
+                payloads = [image_tsv[j][1] for j in batch_idxs]
+                futures.append(
+                    (batch_idxs, self.pool.submit(self._decode_chunk, payloads))
+                )
+
+            for c in chunks[:2]:
+                submit(c)
+            ci = 2
+            buckets = {}  # tp -> (arrays, prefixes, [(order, qid)])
+            pending = []  # (handle, [(order, qid)]) in dispatch order
+            order = 0
+            while futures:
+                batch_idxs, fut = futures.popleft()
+                decoded = fut.result()
+                if ci < len(chunks):
+                    submit(chunks[ci])
+                    ci += 1
+                for i, arr in zip(batch_idxs, decoded):
+                    ik = image_tsv.get_key(i)
+                    qrow = question_tsv[i]
+                    # key alignment (inference.py:176)
+                    assert ik == qrow[0], (ik, qrow[0])
+                    questions = json.loads(qrow[1])
+                    if arr is None:
+                        order += len(questions)
                         continue
-                    answers = self.generate_varshape(
-                        [a for a, _, _ in keep], [p for _, _, p in keep]
-                    )
-                    for (_, qid, _), ans in zip(keep, answers):
-                        yield (json_dump({"answer": ans, "question_id": qid}),)
+                    for q in questions:
+                        prefix = self.encode_prefix(q["question"])
+                        b = buckets.setdefault(len(prefix), ([], [], []))
+                        b[0].append(arr)
+                        b[1].append(prefix)
+                        b[2].append((order, q["question_id"]))
+                        order += 1
+                        if len(b[0]) == self.batch_size:
+                            pending.append(
+                                (self.dispatch_varshape(b[0], b[1]), b[2])
+                            )
+                            buckets[len(prefix)] = ([], [], [])
+            for tp in sorted(buckets):
+                arrs, prefs, meta = buckets[tp]
+                if arrs:
+                    pending.append((self.dispatch_varshape(arrs, prefs), meta))
+            results = {}
+            for handle, meta in pending:
+                for (pos, qid), ans in zip(meta, self.resolve(handle)):
+                    results[pos] = (qid, ans)
+            for pos in sorted(results):
+                qid, ans = results[pos]
+                yield (json_dump({"answer": ans, "question_id": qid}),)
 
         tsv_writer(rows(), cur_out)
         if world_size > 1 and rank == 0:

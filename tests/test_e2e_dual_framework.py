@@ -1,0 +1,197 @@
+"""Dual-framework byte-for-byte end-to-end parity.
+
+Drives the REFERENCE's own CLI (python -m generativeimage2text.inference,
+torch CPU, via tests/ref_stubs/run_reference_cli.py) and the gitax CLI
+(python -m gitax.inference, jax CPU) as subprocesses over the same
+workspace — same base64-image TSV, same question TSV, same converted GIT
+checkpoint, same vocab (one file, discovered by HF's BertTokenizer and
+gitax's tokenizer alike) — and asserts the outputs are byte-identical:
+caption TSVs, VQA TSVs, COCO-format conversion jsons, VQA submission
+jsons, and the single-image CLI caption.  This covers the whole
+transform -> tokenize -> batch -> beam decode -> detokenize -> TSV ->
+eval-conversion chain against the executing reference
+(inference.py:67-109, 134-225, 227-252, 254-275).
+"""
+
+import json
+import os.path as op
+import re
+import sys
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, op.dirname(op.abspath(__file__)))
+
+import e2e_common as E
+
+
+@pytest.fixture(scope="session")
+def ws(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e_ws"))
+    info = E.build_workspace(root)
+    return info
+
+
+def _check(r, tag):
+    assert r.returncode == 0, "{} failed:\n{}\n{}".format(
+        tag, r.stdout[-2000:], r.stderr[-4000:]
+    )
+
+
+@pytest.fixture(scope="session")
+def caption_outputs(ws):
+    payload = {
+        "type": "test_git_inference_single_tsv",
+        "image_tsv": "img.tsv",
+        "model_name": E.MODEL_NAME,
+        "question_tsv": None,
+    }
+    r = E.run_reference_cli(
+        ws["ws"], ws["hf_home"], "inference",
+        dict(payload, out_tsv="ref.caption.tsv"),
+    )
+    _check(r, "reference caption CLI")
+    r = E.run_gitax_cli(
+        ws["ws"], ws["hf_home"], "inference",
+        dict(payload, out_tsv="gitax.caption.tsv", dtype="float32",
+             use_native=False, batch_size=4),
+    )
+    _check(r, "gitax caption CLI")
+    return (op.join(ws["ws"], "ref.caption.tsv"),
+            op.join(ws["ws"], "gitax.caption.tsv"))
+
+
+@pytest.fixture(scope="session")
+def vqa_outputs(ws):
+    payload = {
+        "type": "test_git_inference_single_tsv",
+        "image_tsv": "img.tsv",
+        "model_name": E.MODEL_NAME,
+        "question_tsv": "question.tsv",
+    }
+    r = E.run_reference_cli(
+        ws["ws"], ws["hf_home"], "inference", dict(payload, out_tsv="ref.vqa.tsv")
+    )
+    _check(r, "reference vqa CLI")
+    r = E.run_gitax_cli(
+        ws["ws"], ws["hf_home"], "inference",
+        dict(payload, out_tsv="gitax.vqa.tsv", dtype="float32",
+             use_native=False, batch_size=4),
+    )
+    _check(r, "gitax vqa CLI")
+    return op.join(ws["ws"], "ref.vqa.tsv"), op.join(ws["ws"], "gitax.vqa.tsv")
+
+
+def _read(path):
+    with open(path, "rb") as fp:
+        return fp.read()
+
+
+def test_caption_tsv_byte_parity(caption_outputs):
+    ref, ours = caption_outputs
+    a, b = _read(ref), _read(ours)
+    assert a, "reference produced an empty caption TSV"
+    # sanity: multi-token captions actually flowed through detok
+    caps = [json.loads(line.split(b"\t")[1])[0]["caption"]
+            for line in a.strip().split(b"\n")]
+    assert all(len(c.split()) >= 3 for c in caps), caps
+    assert a == b
+
+
+def test_vqa_tsv_byte_parity(vqa_outputs):
+    ref, ours = vqa_outputs
+    a, b = _read(ref), _read(ours)
+    assert a, "reference produced an empty VQA TSV"
+    rows = [json.loads(line.split(b"\t")[0]) for line in a.strip().split(b"\n")]
+    assert {r["question_id"] for r in rows} == set(range(8))
+    assert any(r["answer"] for r in rows)
+    assert a == b
+
+
+def test_coco_format_conversion_byte_parity(ws, caption_outputs):
+    ref_tsv, _ = caption_outputs
+    payload = {"type": "convert_tsv_to_coco_format", "res_tsv": "ref.caption.tsv"}
+    r = E.run_reference_cli(
+        ws["ws"], ws["hf_home"], "inference",
+        dict(payload, outfile="ref.coco.json"),
+    )
+    _check(r, "reference coco conversion")
+    r = E.run_gitax_cli(
+        ws["ws"], ws["hf_home"], "inference",
+        dict(payload, outfile="gitax.coco.json"),
+    )
+    _check(r, "gitax coco conversion")
+    a = _read(op.join(ws["ws"], "ref.coco.json"))
+    assert json.loads(a)[0]["image_id"] == "demo0"
+    assert a == _read(op.join(ws["ws"], "gitax.coco.json"))
+
+
+def test_vqa_json_conversion_byte_parity(ws, vqa_outputs):
+    payload = {"type": "convert_tsv_to_vqa_json", "predict_file": "ref.vqa.tsv"}
+    r = E.run_reference_cli(
+        ws["ws"], ws["hf_home"], "inference", dict(payload, out_json="ref.vqa.json")
+    )
+    _check(r, "reference vqa conversion")
+    r = E.run_gitax_cli(
+        ws["ws"], ws["hf_home"], "inference",
+        dict(payload, out_json="gitax.vqa.json"),
+    )
+    _check(r, "gitax vqa conversion")
+    a = _read(op.join(ws["ws"], "ref.vqa.json"))
+    assert json.loads(a)
+    assert a == _read(op.join(ws["ws"], "gitax.vqa.json"))
+
+
+def test_gt_annotation_json_parity(ws, tmp_path):
+    """iter_caption_to_json (inside evaluate_on_coco_caption,
+    inference.py:288-293) — in-process, reference vs gitax."""
+    if E.REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, E.REFERENCE_ROOT)
+    if E.STUB_DIR not in sys.path:
+        sys.path.insert(0, E.STUB_DIR)
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "ref_stub_azfuse", op.join(E.STUB_DIR, "azfuse.py")
+    )
+    stub = ilu.module_from_spec(spec)
+    spec.loader.exec_module(stub)
+    sys.modules.setdefault("azfuse", stub)
+    from generativeimage2text import tsv_io as ref_tsv_io
+    from generativeimage2text.inference import iter_caption_to_json as ref_fn
+
+    # other test modules may have injected a bare type-stub azfuse
+    # before this one ran; rebind the working File explicitly
+    ref_tsv_io.File = stub.File
+    RefTSV = ref_tsv_io.TSVFile
+
+    from gitax.inference import iter_caption_to_json as our_fn
+    from gitax.io.tsv import TSVFile
+
+    gt = op.join(ws["ws"], "gt.caption.tsv")
+    ref_out = str(tmp_path / "ref.gt.json")
+    our_out = str(tmp_path / "ours.gt.json")
+    ref_fn(RefTSV(gt), ref_out)
+    our_fn(TSVFile(gt), our_out)
+    a = _read(ref_out)
+    assert json.loads(a)["annotations"]
+    assert a == _read(our_out)
+
+
+def test_single_image_cli_caption_parity(ws):
+    payload = {
+        "type": "test_git_inference_single_image",
+        "image_path": op.join(E.REFERENCE_ROOT, "aux_data", "images", "1.jpg"),
+        "model_name": E.MODEL_NAME,
+        "prefix": "",
+    }
+    r = E.run_reference_cli(ws["ws"], ws["hf_home"], "inference", payload)
+    _check(r, "reference single-image CLI")
+    ref_cap = re.search(r"output: (.*)", r.stdout + r.stderr).group(1).strip()
+    r = E.run_gitax_cli(ws["ws"], ws["hf_home"], "inference", payload)
+    _check(r, "gitax single-image CLI")
+    our_cap = re.search(r"output: (.*)", r.stdout + r.stderr).group(1).strip()
+    assert len(ref_cap.split()) >= 3
+    assert ref_cap == our_cap

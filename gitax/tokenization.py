@@ -345,7 +345,9 @@ class BertTokenizer(object):
             .replace(" 're", "'re")
         )
 
-    def decode(self, ids, skip_special_tokens=True, clean_up_tokenization_spaces=True):
+    def decode(self, ids, skip_special_tokens=False, clean_up_tokenization_spaces=True):
+        # default skip_special_tokens=False matches HF's decode signature
+        # (parity-relevant: [UNK] must render as literal "[UNK]" text)
         ids = [int(i) for i in ids]
         if skip_special_tokens:
             special = self.all_special_ids

@@ -70,13 +70,16 @@ def test_encode_decode_roundtrip(tok):
     text = "a couple of boats in a large body of water."
     ids = tok(text, add_special_tokens=False)["input_ids"]
     assert all(isinstance(i, int) for i in ids)
-    decoded = tok.decode([tok.cls_token_id] + ids + [tok.sep_token_id])
+    decoded = tok.decode([tok.cls_token_id] + ids + [tok.sep_token_id],
+                         skip_special_tokens=True)
     assert decoded == text
 
 
 def test_decode_skips_special_tokens(tok):
     ids = [CLS_ID, tok.vocab["dog"], SEP_ID, PAD_ID, PAD_ID]
-    assert tok.decode(ids) == "dog"
+    assert tok.decode(ids, skip_special_tokens=True) == "dog"
+    # HF-matching default: specials render as text
+    assert tok.decode(ids) == "[CLS] dog [SEP] [PAD] [PAD]"
 
 
 def test_truncation(tok):

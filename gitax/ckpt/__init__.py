@@ -8,6 +8,12 @@ from .torch_convert import (
     align_by_suffix,
     load_torch_checkpoint,
 )
+from .clip_archive import (
+    CLIP_ARCHIVE_SHA256,
+    load_clip_archive,
+    load_image_encoder_from_archive,
+    resolve_archive,
+)
 from .serialization import (
     save_params,
     restore_params,

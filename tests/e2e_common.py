@@ -133,6 +133,14 @@ def make_clip_jit_archive(path, image_resolution=96):
         transformer_heads=1,
         transformer_layers=2,
     )
+    with torch.no_grad():
+        # the reference CLIP leaves text positional_embedding and
+        # text_projection as torch.empty garbage (initialize_parameters
+        # does not cover them in this snapshot) — seed them
+        g = torch.Generator().manual_seed(4321)
+        for p in clip.parameters():
+            if torch.isnan(p).any():
+                p.copy_(torch.randn(p.shape, generator=g) * 0.02)
     sd = dict(clip.state_dict())
     root = torch.nn.Module()
     for name, tensor in sd.items():

@@ -12,19 +12,24 @@ import os.path as op
 
 from .bleu import corpus_bleu
 from .cider import CiderD
+from .meteor import meteor
 from .rouge import rouge_l
 from .tokenizer import tokenize_caption
 
 
 def score_captions(candidates: dict, references: dict):
     """candidates: image_id -> caption string;
-    references: image_id -> [caption strings].  Returns metric dict."""
+    references: image_id -> [caption strings].  Returns metric dict
+    (BLEU-1..4, METEOR, ROUGE-L, CIDEr-D — 4 of the 5 COCO metrics;
+    SPICE needs the Java scene-graph pipeline and stays external)."""
     cand_tok = {k: tokenize_caption(v) for k, v in candidates.items()}
     ref_tok = {k: [tokenize_caption(r) for r in v] for k, v in references.items()}
     bleus = corpus_bleu(cand_tok, ref_tok)
     rl, _ = rouge_l(cand_tok, ref_tok)
     cd, _ = CiderD().compute(cand_tok, ref_tok)
+    mt, _ = meteor(cand_tok, ref_tok)
     result = {"Bleu_{}".format(i + 1): b for i, b in enumerate(bleus)}
+    result["METEOR"] = mt
     result["ROUGE_L"] = rl
     result["CIDEr"] = cd
     return result

@@ -52,14 +52,15 @@ def main():
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(BATCH, 224, 224, 3), jnp.bfloat16)
 
-    # warmup / compile
+    # warmup / compile (np.asarray forces a real device sync; the axon
+    # relay does not reliably block in block_until_ready)
     seqs, _ = caption(params, images)
-    seqs.block_until_ready()
+    np.asarray(seqs)
 
     t0 = time.time()
     for _ in range(ITERS):
         seqs, _ = caption(params, images)
-    seqs.block_until_ready()
+    np.asarray(seqs)
     dt = time.time() - t0
     ips = BATCH * ITERS / dt
 

@@ -152,6 +152,13 @@ def beam_search(
     assert tp < max_len, (tp, max_len)
 
     cache = _tile_beams(cache, k)
+    # beam-ancestry table (gather-on-read, see KVCache.anc): prefix
+    # positions are replicated across rows, so identity is correct
+    t_buf = cache.max_text_len
+    own_row = jnp.tile(jnp.arange(k, dtype=jnp.int32), b)  # [BK]
+    cache = cache._replace(
+        anc=jnp.broadcast_to(own_row[:, None], (b * k, t_buf))
+    )
 
     # beam state
     seqs = jnp.full((b, k, max_len), cfg.eos_id, jnp.int32)
@@ -328,15 +335,20 @@ def beam_search(
         col = jax.nn.one_hot(cur_len, max_len, dtype=bool)[None, None, :]
         seqs_new = jnp.where(col, words[:, :, None], seqs_re)
 
-        # reorder cache along the flattened beam axis
+        # no physical cache reorder: inherit the parent's ancestry row
+        # and claim position cur_len for this row (decode_step reads
+        # history through the ancestry table)
         flat_parents = (
             parents + jnp.arange(b)[:, None] * k
         ).reshape(-1)  # [BK]
         cache_in = st["cache"]
-        cache_re = cache_in._replace(
-            txt_k=jnp.take(cache_in.txt_k, flat_parents, axis=1),
-            txt_v=jnp.take(cache_in.txt_v, flat_parents, axis=1),
+        anc_par = jnp.take(cache_in.anc, flat_parents, axis=0)
+        anc_new = jnp.where(
+            jnp.arange(cache_in.max_text_len)[None, :] == cur_len,
+            own_row[:, None],
+            anc_par,
         )
+        cache_re = cache_in._replace(anc=anc_new)
         step_logits, cache_new = decode_step_fn(words.reshape(-1), cache_re)
 
         st_new = dict(

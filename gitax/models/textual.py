@@ -237,6 +237,14 @@ class KVCache(NamedTuple):
       stream is closed under prefill).
     txt_k/txt_v: [L, B, H, T_max, Dh] — text keys/values, filled
       progressively by dynamic_update_slice.
+    anc: optional int32 [B*beams, T_max] beam-ancestry table: the cache
+      ROW (within the batch element's beam group) whose position-t entry
+      belongs to this beam's history.  When present, beam search never
+      physically reorders txt_k/txt_v (which would copy the full
+      [L, BK, H, T, Dh] buffers every step — ~30% of the step time);
+      decode_step instead computes text-attention scores against ALL
+      beam rows and selects per position via the ancestry one-hot
+      (gather-on-read).  None for greedy/trie decode (no reordering).
     length: [] int32 — number of valid text positions already cached.
     """
 
@@ -246,6 +254,7 @@ class KVCache(NamedTuple):
     txt_v: jax.Array
     memory_valid: Optional[jax.Array]
     length: jax.Array
+    anc: Optional[jax.Array] = None
 
     @property
     def max_text_len(self):
@@ -336,6 +345,15 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     else:
         mem_bias = None  # [B, M] when present
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(dtype)
+    if cache.anc is not None:
+        # ancestry one-hot [B, K, T, J]: position t of beam k lives in
+        # cache row j of the same beam group (gather-on-read; see
+        # KVCache docstring)
+        anc_onehot = jax.nn.one_hot(
+            cache.anc.reshape(b, beams, t_max), beams, dtype=jnp.float32
+        )
+    else:
+        anc_onehot = None
 
     def scan_fn(carry, layer_in):
         xcur = carry
@@ -349,12 +367,24 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
         )
         if mem_bias is not None:
             mem_scores = mem_scores + mem_bias[:, None, None, :]
-        txt_scores = jnp.einsum(
-            "bkhd,bkhtd->bkht",
-            qb,
-            txt_k.reshape(b, beams, h, t_max, dh),
-            preferred_element_type=jnp.float32,
-        )
+        txt_kb = txt_k.reshape(b, beams, h, t_max, dh)
+        txt_vb = txt_v.reshape(b, beams, h, t_max, dh)
+        if anc_onehot is None:
+            txt_scores = jnp.einsum(
+                "bkhd,bkhtd->bkht", qb, txt_kb,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # scores vs ALL beam rows, then per-position ancestry select —
+            # K x more score FLOPs (tiny) for zero cache-permutation HBM
+            # traffic
+            scores_all = jnp.einsum(
+                "bkhd,bjhtd->bkjht", qb, txt_kb,
+                preferred_element_type=jnp.float32,
+            )
+            txt_scores = jnp.einsum(
+                "bkjht,bktj->bkht", scores_all, anc_onehot
+            )
         txt_scores = txt_scores + txt_bias
         scores = jnp.concatenate([mem_scores, txt_scores], axis=-1)
         probs = jax.nn.softmax(scores, axis=-1).astype(xcur.dtype)
@@ -362,12 +392,21 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
             "bkhm,bhmd->bkhd", probs[..., :m], mem_v,
             preferred_element_type=xcur.dtype,
         )
-        ctx_txt = jnp.einsum(
-            "bkht,bkhtd->bkhd",
-            probs[..., m:],
-            txt_v.reshape(b, beams, h, t_max, dh),
-            preferred_element_type=xcur.dtype,
-        )
+        if anc_onehot is None:
+            ctx_txt = jnp.einsum(
+                "bkht,bkhtd->bkhd", probs[..., m:], txt_vb,
+                preferred_element_type=xcur.dtype,
+            )
+        else:
+            pe = jnp.einsum(
+                "bkht,bktj->bkjht",
+                probs[..., m:],
+                anc_onehot.astype(xcur.dtype),
+            )
+            ctx_txt = jnp.einsum(
+                "bkjht,bjhtd->bkhd", pe, txt_vb,
+                preferred_element_type=xcur.dtype,
+            )
         ctx = (ctx_mem + ctx_txt).reshape(bk, 1, h * dh)
         attn_out = linear(ctx, bp["attn"]["out"])
         xnew = layer_norm(attn_out + xcur, bp["attn_ln"], cfg.bert_ln_eps)

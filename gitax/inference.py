@@ -166,13 +166,15 @@ def test_git_inference_single_image(image_path, model_name, prefix="",
 
 def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
                                   batch_size=32, dtype="bfloat16",
-                                  use_native=None):
+                                  use_native=None, int8=False):
     """Sharded batch inference over a base64-image TSV
     (reference inference.py:134-225), batched on device.
 
     dtype: 'bfloat16' (production) or 'float32' (bit-parity with the
     torch reference).  use_native: force the native C++ decode path on
-    (True) / off (False, exact PIL preprocessing) / auto (None)."""
+    (True) / off (False, exact PIL preprocessing) / auto (None).
+    int8: weight-only int8 decoder/vocab matmuls (fastest; near-tie
+    beams may pick different tokens than full precision)."""
     import jax.numpy as jnp
 
     from .decode import BeamSearchConfig
@@ -195,6 +197,7 @@ def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
         beam=BeamSearchConfig(num_beams=4, max_steps=40),
         dtype=jdtype,
         use_native=use_native,
+        int8=int8,
     )
     rank, world = get_mpi_rank(), get_mpi_size()
     if question_tsv:

@@ -23,7 +23,18 @@ def layer_norm(x, params, eps):
 
 
 def linear(x, params):
-    y = jnp.dot(x, params["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "kernel_q8" in params:
+        # weight-only int8 (gitax.ops.quant): int8 weights stream from
+        # HBM; the convert fuses into the dot, the per-out-channel scale
+        # applies post-matmul
+        y = jnp.dot(
+            x, params["kernel_q8"].astype(x.dtype), preferred_element_type=x.dtype
+        )
+        y = y * params["kernel_scale"].astype(x.dtype)
+    else:
+        y = jnp.dot(
+            x, params["kernel"].astype(x.dtype), preferred_element_type=x.dtype
+        )
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)
     return y

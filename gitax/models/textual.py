@@ -128,7 +128,17 @@ def embed_captions(params, tokens, cfg: GitConfig, position_offset=0):
 
 
 def output_logits(params, hidden):
-    """Weight-tied output projection (decoder.py:500-505)."""
+    """Weight-tied output projection (decoder.py:500-505).  With
+    int8-quantized params (gitax.ops.quant) the vocab matrix streams as
+    int8 and the per-row scale applies to the logits."""
+    if "output_words_q8_t" in params:
+        logits = jnp.dot(
+            hidden,
+            params["output_words_q8_t"].astype(hidden.dtype),
+            preferred_element_type=hidden.dtype,
+        )
+        logits = logits * params["output_words_scale"].astype(hidden.dtype)
+        return logits + params["output_bias"].astype(hidden.dtype)
     w = params["embedding"]["words"].astype(hidden.dtype)
     return (
         jnp.dot(hidden, w.T, preferred_element_type=hidden.dtype)

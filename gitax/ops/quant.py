@@ -1,0 +1,85 @@
+"""Weight-only int8 quantization for the decode loop.
+
+The GIT decode step is HBM-bandwidth-bound: every step re-reads the
+decoder block weights (~85 MB for GIT_LARGE) and the tied vocab matrix
+(~47 MB bf16) while doing comparatively few FLOPs (single-token step).
+Storing those weights as int8 with per-output-channel scales halves the
+bytes the MXU has to pull per step; the dequantize (convert + column
+scale) fuses into the matmul.  Symmetric per-channel quantization:
+
+    q = round(w / s) in [-127, 127],   s = max|w over in-axis| / 127
+    y = (x @ q) * s + b
+
+Activations stay bf16 and the embedding LOOKUP table stays full
+precision (input-side embedding error would compound through the
+layers); only matmul weights are quantized.  Opt-in: transform params
+with `quantize_textual_for_decode` (the fp params are replaced, not
+duplicated, except the tied word embedding which keeps its fp copy for
+lookups).  No reference counterpart — the reference decodes in fp16
+(train.py:270) with full-precision weights.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def quantize_linear(p: dict) -> dict:
+    """{'kernel' [in,out], 'bias'?} -> {'kernel_q8', 'kernel_scale',
+    'bias'?}.  Stacked kernels ([L, in, out]) quantize per (layer, out).
+
+    Outputs are device arrays: feeding host numpy into a jitted step
+    would re-upload the weights on EVERY call (catastrophic over the
+    TPU relay — measured 8.5 s/step vs 13 ms)."""
+    import jax.numpy as jnp
+
+    w = np.asarray(p["kernel"], np.float32)
+    s = np.max(np.abs(w), axis=-2, keepdims=True) / 127.0
+    s = np.maximum(s, 1e-12)
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    out = {
+        "kernel_q8": jnp.asarray(q),
+        "kernel_scale": jnp.asarray(np.squeeze(s, axis=-2)),
+    }
+    if "bias" in p:
+        out["bias"] = jnp.asarray(p["bias"])
+    return out
+
+
+def quantize_textual_for_decode(textual: dict) -> dict:
+    """Quantize the decoder block matmuls and the tied output head of a
+    gitax textual params tree (see models/textual.py layout)."""
+    blocks = textual["blocks"]
+    new_blocks = {
+        "attn": {
+            "qkv": quantize_linear(blocks["attn"]["qkv"]),
+            "out": quantize_linear(blocks["attn"]["out"]),
+        },
+        "attn_ln": blocks["attn_ln"],
+        "mlp": {
+            "intermediate": quantize_linear(blocks["mlp"]["intermediate"]),
+            "output": quantize_linear(blocks["mlp"]["output"]),
+        },
+        "mlp_ln": blocks["mlp_ln"],
+    }
+    words = np.asarray(textual["embedding"]["words"], np.float32)  # [V, D]
+    s = np.max(np.abs(words), axis=1, keepdims=True) / 127.0
+    s = np.maximum(s, 1e-12)
+    q = np.clip(np.round(words / s), -127, 127).astype(np.int8)
+    import jax.numpy as jnp
+
+    new = dict(textual)
+    new["blocks"] = new_blocks
+    # output head reads int8 (stored pre-transposed [D, V] so no runtime
+    # int8 transpose); embedding lookups keep the fp table
+    new["output_words_q8_t"] = jnp.asarray(q.T)
+    new["output_words_scale"] = jnp.asarray(s[:, 0])
+    return new
+
+
+def quantize_git_params(params: dict) -> dict:
+    """Whole-model convenience: quantize the textual tower for decoding;
+    the image encoder runs once per image (compute-bound) and stays fp."""
+    new = dict(params)
+    new["textual"] = quantize_textual_for_decode(params["textual"])
+    return new

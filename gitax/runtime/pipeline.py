@@ -82,8 +82,16 @@ class CaptionEngine(object):
         max_text_len: int = 40,
         decode_workers: int = 8,
         use_native: Optional[bool] = None,
+        int8: bool = False,
     ):
         self.model = model
+        if int8:
+            # weight-only int8 decoder/vocab matmuls (gitax.ops.quant):
+            # ~half the per-step HBM traffic; output tokens can differ
+            # from full precision in near-tie beams
+            from ..ops.quant import quantize_git_params
+
+            params = quantize_git_params(params)
         self.params = params
         self.tokenizer = tokenizer
         self.transform = transform

@@ -44,7 +44,9 @@ def load_torch_checkpoint(path):
     prefixes stripped (reference torch_common.py:41-56)."""
     import torch
 
-    with open(path, "rb") as fp:
+    from ..io import fileio
+
+    with fileio.open_file(path, "rb") as fp:
         blob = torch.load(io.BytesIO(fp.read()), map_location="cpu", weights_only=False)
     state = blob.get("model", blob) if isinstance(blob, dict) else blob
     out = {}

@@ -169,7 +169,9 @@ def load_from_yaml_file(file_name):
     """Load YAML; a `_base_` key recursively includes a parent file whose
     values are overridden by the child's '$'-path leaves
     (reference common.py:322-337)."""
-    with open(file_name, "r") as fp:
+    from .io import fileio
+
+    with fileio.open_file(file_name, "r") as fp:
         data = load_from_yaml_str(fp.read())
     while isinstance(data, dict) and "_base_" in data:
         parent = load_from_yaml_file(op.join(op.dirname(file_name), data.pop("_base_")))

@@ -19,6 +19,8 @@ import shutil
 
 import numpy as np
 
+from . import fileio
+
 
 def _sibling(tsv_path, ext):
     return op.splitext(tsv_path)[0] + ext
@@ -38,11 +40,17 @@ class TSVFile(object):
     def _ensure_open(self):
         pid = os.getpid()
         if self._data is None or self._pid != pid:
-            self._data = np.memmap(self.tsv_file, dtype=np.uint8, mode="r")
-            if op.isfile(self.lineidx_8b):
-                self._offsets = np.memmap(self.lineidx_8b, dtype="<i8", mode="r")
+            # mmap needs a real local file; remote backends materialize
+            # it here (the azfuse role, gitax.io.fileio)
+            self._data = np.memmap(
+                fileio.prepare(self.tsv_file), dtype=np.uint8, mode="r"
+            )
+            if fileio.isfile(self.lineidx_8b):
+                self._offsets = np.memmap(
+                    fileio.prepare(self.lineidx_8b), dtype="<i8", mode="r"
+                )
             else:
-                with open(self.lineidx, "r") as fp:
+                with fileio.open_file(self.lineidx, "r") as fp:
                     self._offsets = np.asarray(
                         [int(line) for line in fp if line.strip()], dtype=np.int64
                     )
@@ -51,8 +59,8 @@ class TSVFile(object):
 
     def num_rows(self):
         if self._len is None:
-            if op.isfile(self.lineidx_8b):
-                self._len = op.getsize(self.lineidx_8b) // 8
+            if fileio.isfile(self.lineidx_8b):
+                self._len = fileio.getsize(self.lineidx_8b) // 8
             else:
                 self._ensure_open()
         return self._len
@@ -97,7 +105,7 @@ class TSVFile(object):
 
 
 def tsv_reader(tsv_file, sep="\t"):
-    with open(tsv_file, "r") as fp:
+    with fileio.open_file(tsv_file, "r") as fp:
         for line in fp:
             yield [x.strip() for x in line.split(sep)]
 
@@ -112,16 +120,14 @@ def tsv_writer(rows, tsv_file, sep="\t"):
     shard or a data file without its offset tables.  The reference got
     the same guarantee implicitly from azfuse close-time upload.
     """
-    d = op.dirname(tsv_file)
-    if d:
-        os.makedirs(d, exist_ok=True)
+    fileio.makedirs(op.dirname(tsv_file))
     lineidx = _sibling(tsv_file, ".lineidx")
     lineidx_8b = lineidx + ".8b"
     sep_b = sep.encode()
     offset = 0
-    with open(tsv_file + ".tmp", "wb") as fp, open(
+    with fileio.open_file(tsv_file + ".tmp", "wb") as fp, fileio.open_file(
         lineidx + ".tmp", "w"
-    ) as fpidx, open(lineidx_8b + ".tmp", "wb") as fp8b:
+    ) as fpidx, fileio.open_file(lineidx_8b + ".tmp", "wb") as fp8b:
         for row in rows:
             assert row is not None
             cells = [v if isinstance(v, bytes) else str(v).encode() for v in row]
@@ -130,25 +136,30 @@ def tsv_writer(rows, tsv_file, sep="\t"):
             fpidx.write(str(offset) + "\n")
             fp8b.write(offset.to_bytes(8, "little"))
             offset += len(line)
-    os.replace(lineidx + ".tmp", lineidx)
-    os.replace(lineidx_8b + ".tmp", lineidx_8b)
-    os.replace(tsv_file + ".tmp", tsv_file)
+    fileio.replace(lineidx + ".tmp", lineidx)
+    fileio.replace(lineidx_8b + ".tmp", lineidx_8b)
+    fileio.replace(tsv_file + ".tmp", tsv_file)
 
 
 def concat_tsv_files(tsvs, out_tsv):
     """Concatenate shards and rebase their offset tables (tsv_io.py:22-31)."""
     if len(tsvs) == 1 and tsvs[0] == out_tsv:
         return
-    sizes = [op.getsize(t) for t in tsvs]
+    sizes = [fileio.getsize(t) for t in tsvs]
     starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
-    with open(out_tsv, "wb") as fp_out:
+    with fileio.open_file(out_tsv, "wb") as fp_out:
         for t in tsvs:
-            with open(t, "rb") as fp_in:
+            with fileio.open_file(t, "rb") as fp_in:
                 shutil.copyfileobj(fp_in, fp_out, 10 * 1024 * 1024)
     out8b = _sibling(out_tsv, ".lineidx.8b")
     outidx = _sibling(out_tsv, ".lineidx")
-    with open(out8b, "wb") as fp8b, open(outidx, "w") as fpidx:
+    with fileio.open_file(out8b, "wb") as fp8b, fileio.open_file(
+        outidx, "w"
+    ) as fpidx:
         for t, base in zip(tsvs, starts):
-            offs = np.fromfile(_sibling(t, ".lineidx.8b"), dtype="<i8") + base
+            offs = (
+                np.fromfile(fileio.prepare(_sibling(t, ".lineidx.8b")), dtype="<i8")
+                + base
+            )
             offs.astype("<i8").tofile(fp8b)
             fpidx.writelines(str(int(o)) + "\n" for o in offs)

@@ -102,3 +102,32 @@ def test_writer_is_atomic(tmp_path):
     assert not list(tmp_path.glob("*.tmp"))
     t = TSVFile(str(p))
     assert [t.get_key(i) for i in range(2)] == ["k0", "k1"]
+
+
+def test_fileio_backend_seam(tmp_path, monkeypatch):
+    """Installing a custom file backend reroutes TSV IO (the azfuse-style
+    seam, gitax.io.fileio) — here a counting wrapper over local files."""
+    from gitax.io import fileio
+
+    calls = {"open": 0, "prepare": 0}
+
+    class Counting(fileio.LocalBackend):
+        def open(self, path, mode="r"):
+            calls["open"] += 1
+            return fileio.LocalBackend.open(path, mode)
+
+        def prepare(self, path):
+            calls["prepare"] += 1
+            return path
+
+    orig = fileio.get_backend()
+    fileio.set_backend(Counting())
+    try:
+        p = tmp_path / "seam.tsv"
+        write_rows(p, [["k0", "v0"], ["k1", "v1"]])
+        t = TSVFile(str(p))
+        assert [t.get_key(i) for i in range(2)] == ["k0", "k1"]
+    finally:
+        fileio.set_backend(orig)
+    assert calls["open"] >= 3  # three .tmp files at minimum
+    assert calls["prepare"] >= 2  # data + lineidx.8b mmaps

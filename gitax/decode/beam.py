@@ -119,8 +119,8 @@ def _tile_beams(cache: KVCache, num_beams: int) -> KVCache:
     decode_step broadcasts attention over the beam axis instead of
     paying beam-tiled memory-K/V HBM traffic every step."""
     return cache._replace(
-        txt_k=jnp.repeat(cache.txt_k, num_beams, axis=1),
-        txt_v=jnp.repeat(cache.txt_v, num_beams, axis=1),
+        txt_k=tuple(jnp.repeat(k, num_beams, axis=0) for k in cache.txt_k),
+        txt_v=tuple(jnp.repeat(v, num_beams, axis=0) for v in cache.txt_v),
     )
 
 

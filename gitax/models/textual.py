@@ -242,11 +242,16 @@ def textual_forward(
 class KVCache(NamedTuple):
     """Static-shape decode state.
 
-    mem_k/mem_v: [L, B, H, M, Dh] — memory keys/values per layer,
-      computed once (image tokens never attend to text, so the memory
-      stream is closed under prefill).
-    txt_k/txt_v: [L, B, H, T_max, Dh] — text keys/values, filled
-      progressively by dynamic_update_slice.
+    mem_k/mem_v: L-tuples of [B, H, M, Dh] — memory keys/values per
+      layer, computed once (image tokens never attend to text, so the
+      memory stream is closed under prefill).
+    txt_k/txt_v: L-tuples of [B, H, T_max, Dh] — text keys/values,
+      filled progressively by dynamic_update_slice.  Per-layer TUPLES,
+      not one stacked [L, ...] array: scanning layers over a stacked
+      buffer makes XLA slice + restack the full per-layer cache every
+      layer of every step (~150 MB/step measured for GIT_LARGE beam-4,
+      ~35% of the decode loop); per-layer buffers take single-position
+      in-place dynamic_update_slice writes instead.
     anc: optional int32 [B*beams, T_max] beam-ancestry table: the cache
       ROW (within the batch element's beam group) whose position-t entry
       belongs to this beam's history.  When present, beam search never
@@ -258,17 +263,25 @@ class KVCache(NamedTuple):
     length: [] int32 — number of valid text positions already cached.
     """
 
-    mem_k: jax.Array
-    mem_v: jax.Array
-    txt_k: jax.Array
-    txt_v: jax.Array
+    mem_k: tuple
+    mem_v: tuple
+    txt_k: tuple
+    txt_v: tuple
     memory_valid: Optional[jax.Array]
     length: jax.Array
     anc: Optional[jax.Array] = None
 
     @property
     def max_text_len(self):
-        return self.txt_k.shape[3]
+        return self.txt_k[0].shape[2]
+
+    @property
+    def num_layers(self):
+        return len(self.txt_k)
+
+    @property
+    def batch(self):
+        return self.mem_k[0].shape[0]
 
 
 def prefill(
@@ -314,11 +327,14 @@ def prefill(
 
     x, (mem_k, mem_v, txt_k, txt_v) = jax.lax.scan(scan_fn, x, params["blocks"])
     logits = output_logits(params, x[:, m + tp - 1 : m + tp])[:, 0]
+    n_layers = mem_k.shape[0]
+    # per-layer tuples (see KVCache docstring); the unstack copies once
+    # at prefill, never inside the decode loop
     cache = KVCache(
-        mem_k=mem_k,
-        mem_v=mem_v,
-        txt_k=txt_k,
-        txt_v=txt_v,
+        mem_k=tuple(mem_k[i] for i in range(n_layers)),
+        mem_v=tuple(mem_v[i] for i in range(n_layers)),
+        txt_k=tuple(txt_k[i] for i in range(n_layers)),
+        txt_v=tuple(txt_v[i] for i in range(n_layers)),
         memory_valid=memory_valid,
         length=jnp.asarray(tp, jnp.int32),
     )
@@ -328,17 +344,23 @@ def prefill(
 def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float32):
     """One incremental step: tokens [B*beams] at text position cache.length.
 
-    Memory K/V are stored ONCE per batch element ([L, B, H, M, Dh]) while
-    text K/V carry the full beam axis ([L, B*beams, H, T, Dh]); attention
-    scores against memory broadcast over beams instead of materializing
-    beam-tiled (or concatenated) K/V — on TPU this cuts the dominant HBM
-    traffic of the decode loop ~4x for beam-4 (memory K/V for ViT-L is
-    ~300 MB/step if tiled).
+    Memory K/V are stored ONCE per batch element ([B, H, M, Dh] per
+    layer) while text K/V carry the full beam axis ([B*beams, H, T, Dh]
+    per layer); attention scores against memory broadcast over beams
+    instead of materializing beam-tiled (or concatenated) K/V — on TPU
+    this cuts the dominant HBM traffic of the decode loop ~4x for beam-4
+    (memory K/V for ViT-L is ~300 MB/step if tiled).
+
+    The layer loop is an unrolled Python loop over the cache's per-layer
+    buffers — NOT a lax.scan over a stacked [L, ...] cache, which would
+    slice + restack the whole text cache every layer (measured ~35% of
+    the step); each buffer takes one in-place single-position
+    dynamic_update_slice per step.
 
     Returns (logits [B*beams, vocab], updated cache).
     """
     bk = tokens.shape[0]
-    b = cache.mem_k.shape[1]
+    b = cache.batch
     beams = bk // b
     assert beams * b == bk, (bk, b)
     pos = cache.length
@@ -346,7 +368,7 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     x = x.astype(dtype)
 
     h, dh = cfg.num_heads, cfg.head_dim
-    m = cache.mem_k.shape[3]
+    m = cache.mem_k[0].shape[2]
     t_max = cache.max_text_len
     # text-position bias: attend to cached text positions <= pos
     txt_bias = jnp.where(jnp.arange(t_max) <= pos, 0.0, NEG_INF).astype(jnp.float32)
@@ -365,9 +387,7 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     else:
         anc_onehot = None
 
-    def scan_fn(carry, layer_in):
-        xcur = carry
-        bp, mem_k, mem_v, txt_k, txt_v = layer_in
+    def layer(xcur, bp, mem_k, mem_v, txt_k, txt_v):
         q, k_new, v_new = qkv_project(xcur, bp["attn"], cfg.num_heads)
         txt_k = jax.lax.dynamic_update_slice(txt_k, k_new, (0, 0, pos, 0))
         txt_v = jax.lax.dynamic_update_slice(txt_v, v_new, (0, 0, pos, 0))
@@ -426,8 +446,18 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
         )
         return xnew, (txt_k, txt_v)
 
-    layer_inputs = (params["blocks"], cache.mem_k, cache.mem_v, cache.txt_k, cache.txt_v)
-    x, (txt_k, txt_v) = jax.lax.scan(scan_fn, x, layer_inputs)
+    n = cache.num_layers
+    new_txt_k, new_txt_v = [], []
+    for li in range(n):
+        bp = jax.tree_util.tree_map(lambda a: a[li], params["blocks"])
+        x, (tk, tv) = layer(
+            x, bp, cache.mem_k[li], cache.mem_v[li],
+            cache.txt_k[li], cache.txt_v[li],
+        )
+        new_txt_k.append(tk)
+        new_txt_v.append(tv)
     logits = output_logits(params, x[:, 0])
-    new_cache = cache._replace(txt_k=txt_k, txt_v=txt_v, length=pos + 1)
+    new_cache = cache._replace(
+        txt_k=tuple(new_txt_k), txt_v=tuple(new_txt_v), length=pos + 1
+    )
     return logits, new_cache

@@ -113,6 +113,37 @@ def _top_k_iterative(x, k):
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
+def _top_k_blocked(x, k, block=512):
+    """Exact top-k via block-max prefilter: one max-reduce pass picks the
+    k best blocks (the true top-k occupy at most k blocks, and each such
+    block's max is >= the k-th value, so the k max-ranked blocks always
+    cover them), then the iterative argmax runs over only k*block
+    gathered candidates.  Ties resolve to the lowest flat index, exactly
+    like _top_k_iterative: block gathering preserves index order.
+
+    Cuts the top-k's HBM traffic over a [BK, V~30k] logit tensor from
+    2k full passes to ~1, worth ~0.1 ms/step in the GIT_LARGE beam loop.
+    """
+    b, n = x.shape
+    nb = (n + block - 1) // block
+    if nb < max(k, 4):
+        return _top_k_iterative(x, k)
+    pad = nb * block - n
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    xb = x.reshape(b, nb, block)
+    bmax = xb.max(axis=-1)  # [B, NB] — the single full pass
+    _, bidx = _top_k_iterative(bmax, k)  # [B, K] best blocks, ascending-max tie rule
+    # gather candidate blocks IN INDEX ORDER so flat tie-order survives
+    bidx = jnp.sort(bidx, axis=-1)
+    cand = jnp.take_along_axis(xb, bidx[:, :, None], axis=1)  # [B, K, block]
+    vals, within = _top_k_iterative(cand.reshape(b, k * block), k)
+    blk = within // block
+    off = within % block
+    idx = jnp.take_along_axis(bidx, blk, axis=1) * block + off
+    return vals, idx
+
+
 def _tile_beams(cache: KVCache, num_beams: int) -> KVCache:
     """Expand the TEXT cache to B*num_beams.  Memory K/V (and its
     validity mask) stay at batch B — beams of one element share them, and
@@ -253,7 +284,7 @@ def beam_search(
             # logsumexp and merge.  Avoids materializing the full-vocab
             # log-softmax every step; tie order (lower flat index first)
             # is preserved.
-            pb_vals, pb_idx = _top_k_iterative(logits, c)  # [BK, C]
+            pb_vals, pb_idx = _top_k_blocked(logits, c)  # [BK, C]
             lse = jax.scipy.special.logsumexp(
                 logits.astype(jnp.float32), axis=-1
             )  # [BK]

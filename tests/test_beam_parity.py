@@ -186,3 +186,31 @@ def test_beam_parity_num_keep_best(setup):
                            num_keep_best=3)
     np.testing.assert_array_equal(np.asarray(dec), ref_dec.numpy())
     np.testing.assert_allclose(np.asarray(lp), ref_lp.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_topk_matches_iterative():
+    """_top_k_blocked must equal _top_k_iterative (values AND indices,
+    incl. lowest-index tie-breaking) on random and tie-heavy inputs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gitax.decode.beam import _top_k_blocked, _top_k_iterative
+
+    rng = np.random.RandomState(0)
+    for trial in range(6):
+        if trial < 3:
+            x = rng.randn(7, 30522).astype(np.float32)
+        else:
+            # heavy ties: few distinct values scattered everywhere
+            x = rng.randint(0, 5, (7, 30522)).astype(np.float32)
+        xv = jnp.asarray(x)
+        for k in (1, 2, 8):
+            v1, i1 = _top_k_iterative(xv, k)
+            v2, i2 = _top_k_blocked(xv, k)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # small-vocab fallback path
+    x = jnp.asarray(rng.randn(3, 100), jnp.float32)
+    v1, i1 = _top_k_iterative(x, 4)
+    v2, i2 = _top_k_blocked(x, 4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

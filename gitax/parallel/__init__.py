@@ -4,3 +4,7 @@ from .mesh import (
     batch_partition_specs,
     shard_params,
 )
+from .mesh import (
+    zero1_partition_specs,
+    zero1_shard_opt_state,
+)

@@ -74,3 +74,49 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def zero1_partition_specs(params, mesh: Mesh):
+    """ZeRO-1 layout for param-shaped optimizer moments: shard the first
+    axis that divides the 'data' axis size (and is not TP-sharded) over
+    'data', so Adam's m/v live at 1/N per device and the moment update
+    runs shard-local.  XLA's SPMD partitioner inserts the
+    reduce-scatter/all-gather around the update from these shardings
+    alone — no hand-written collectives (scaling-book recipe).
+
+    The reference has no distributed training at all (SURVEY.md §2);
+    this is the gitax-native equivalent of optimizer-state sharding.
+    """
+    n_data = mesh.shape["data"]
+    base = param_partition_specs(params)
+
+    def spec_for(leaf, tp_spec):
+        dims = np.shape(leaf)
+        taken = set(tp_spec)
+        for axis, d in enumerate(dims):
+            if tp_spec[axis] if axis < len(tp_spec) else None:
+                continue
+            if d % n_data == 0 and d >= n_data and "data" not in taken:
+                parts = list(tp_spec) + [None] * (len(dims) - len(tp_spec))
+                parts[axis] = "data"
+                return P(*parts)
+        return tp_spec
+
+    return jax.tree_util.tree_map(spec_for, params, base)
+
+
+def zero1_shard_opt_state(opt_state, params, mesh: Mesh):
+    """Place an optax state on the mesh: param-shaped leaves (Adam m/v)
+    get the ZeRO-1 layout, scalars/counters replicate."""
+    zspecs = zero1_partition_specs(params, mesh)
+    flat_specs = jax.tree_util.tree_leaves(zspecs)
+    flat_params = jax.tree_util.tree_leaves(params)
+    shape_to_spec = {}
+    for p, s in zip(flat_params, flat_specs):
+        shape_to_spec.setdefault(np.shape(p), s)
+
+    def place(leaf):
+        spec = shape_to_spec.get(np.shape(leaf), P())
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, opt_state)

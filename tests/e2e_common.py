@@ -136,8 +136,12 @@ def make_clip_jit_archive(path, image_resolution=96):
     with torch.no_grad():
         # the reference CLIP leaves text positional_embedding and
         # text_projection as torch.empty garbage (initialize_parameters
-        # does not cover them in this snapshot) — seed them
+        # does not cover them in this snapshot).  torch.empty contents
+        # depend on allocator history (NaN, zeros, recycled data), so
+        # seed them UNCONDITIONALLY for determinism.
         g = torch.Generator().manual_seed(4321)
+        for p in (clip.positional_embedding, clip.text_projection):
+            p.copy_(torch.randn(p.shape, generator=g) * 0.02)
         for p in clip.parameters():
             if torch.isnan(p).any():
                 p.copy_(torch.randn(p.shape, generator=g) * 0.02)

@@ -32,15 +32,18 @@ NEG_INF = -1e30
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, num_memory,
                  q_tile, masked):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale  # [TQ, D]
+    # keep q/k in their storage dtype (bf16): the MXU's native mode is
+    # low-precision inputs with f32 accumulation — explicit f32 casts
+    # before the dot force the slow fp32 matmul path
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # [TQ, D]
     k = k_ref[0]  # [Tpad, D]
     v = v_ref[0]
     scores = jax.lax.dot_general(
         q,
-        k.astype(jnp.float32),
+        k,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [TQ, Tpad]
+    )  # [TQ, Tpad] f32
     t_pad = scores.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, t_pad), 1)
     valid = col < seq_len

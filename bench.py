@@ -40,7 +40,7 @@ from gitax.models.config import get_model_param
 
 BATCH = int(os.environ.get("GITAX_BENCH_BATCH", "32"))
 MAX_STEPS = int(os.environ.get("GITAX_BENCH_STEPS", "24"))
-ITERS = int(os.environ.get("GITAX_BENCH_ITERS", "3"))
+ITERS = int(os.environ.get("GITAX_BENCH_ITERS", "10"))
 INT8 = os.environ.get("GITAX_BENCH_INT8", "1") != "0"
 E2E_ROWS = int(os.environ.get("GITAX_BENCH_E2E_ROWS", "192"))
 

@@ -150,8 +150,7 @@ def _tile_beams(cache: KVCache, num_beams: int) -> KVCache:
     decode_step broadcasts attention over the beam axis instead of
     paying beam-tiled memory-K/V HBM traffic every step."""
     return cache._replace(
-        txt_k=tuple(jnp.repeat(k, num_beams, axis=0) for k in cache.txt_k),
-        txt_v=tuple(jnp.repeat(v, num_beams, axis=0) for v in cache.txt_v),
+        txt_kv=tuple(jnp.repeat(kv, num_beams, axis=0) for kv in cache.txt_kv),
     )
 
 

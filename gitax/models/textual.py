@@ -245,13 +245,16 @@ class KVCache(NamedTuple):
     mem_k/mem_v: L-tuples of [B, H, M, Dh] — memory keys/values per
       layer, computed once (image tokens never attend to text, so the
       memory stream is closed under prefill).
-    txt_k/txt_v: L-tuples of [B, H, T_max, Dh] — text keys/values,
-      filled progressively by dynamic_update_slice.  Per-layer TUPLES,
-      not one stacked [L, ...] array: scanning layers over a stacked
-      buffer makes XLA slice + restack the full per-layer cache every
-      layer of every step (~150 MB/step measured for GIT_LARGE beam-4,
-      ~35% of the decode loop); per-layer buffers take single-position
-      in-place dynamic_update_slice writes instead.
+    txt_kv: L-tuple of [B, H, T_max, 2*Dh] — text keys and values
+      INTERLEAVED on the feature axis (k = [..., :Dh], v = [..., Dh:]),
+      filled progressively by one dynamic_update_slice per layer per
+      step.  Per-layer TUPLES, not one stacked [L, ...] array: scanning
+      layers over a stacked buffer makes XLA slice + restack the full
+      per-layer cache every layer of every step (~150 MB/step measured
+      for GIT_LARGE beam-4, ~35% of the decode loop).  K/V fused into
+      one buffer because the decode loop is per-op-overhead-bound on
+      this backend (~25 us/op): one update + one tile op per layer
+      instead of two.
     anc: optional int32 [B*beams, T_max] beam-ancestry table: the cache
       ROW (within the batch element's beam group) whose position-t entry
       belongs to this beam's history.  When present, beam search never
@@ -265,19 +268,18 @@ class KVCache(NamedTuple):
 
     mem_k: tuple
     mem_v: tuple
-    txt_k: tuple
-    txt_v: tuple
+    txt_kv: tuple
     memory_valid: Optional[jax.Array]
     length: jax.Array
     anc: Optional[jax.Array] = None
 
     @property
     def max_text_len(self):
-        return self.txt_k[0].shape[2]
+        return self.txt_kv[0].shape[2]
 
     @property
     def num_layers(self):
-        return len(self.txt_k)
+        return len(self.txt_kv)
 
     @property
     def batch(self):
@@ -321,11 +323,13 @@ def prefill(
         xnew = layer_norm(
             linear(inter, bp["mlp"]["output"]) + xnew, bp["mlp_ln"], cfg.bert_ln_eps
         )
-        txt_k = jnp.pad(k[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0)))
-        txt_v = jnp.pad(v[:, :, m:], ((0, 0), (0, 0), (0, pad), (0, 0)))
-        return xnew, (k[:, :, :m], v[:, :, :m], txt_k, txt_v)
+        txt_kv = jnp.pad(
+            jnp.concatenate([k[:, :, m:], v[:, :, m:]], axis=-1),
+            ((0, 0), (0, 0), (0, pad), (0, 0)),
+        )
+        return xnew, (k[:, :, :m], v[:, :, :m], txt_kv)
 
-    x, (mem_k, mem_v, txt_k, txt_v) = jax.lax.scan(scan_fn, x, params["blocks"])
+    x, (mem_k, mem_v, txt_kv) = jax.lax.scan(scan_fn, x, params["blocks"])
     logits = output_logits(params, x[:, m + tp - 1 : m + tp])[:, 0]
     n_layers = mem_k.shape[0]
     # per-layer tuples (see KVCache docstring); the unstack copies once
@@ -333,8 +337,7 @@ def prefill(
     cache = KVCache(
         mem_k=tuple(mem_k[i] for i in range(n_layers)),
         mem_v=tuple(mem_v[i] for i in range(n_layers)),
-        txt_k=tuple(txt_k[i] for i in range(n_layers)),
-        txt_v=tuple(txt_v[i] for i in range(n_layers)),
+        txt_kv=tuple(txt_kv[i] for i in range(n_layers)),
         memory_valid=memory_valid,
         length=jnp.asarray(tp, jnp.int32),
     )
@@ -387,18 +390,20 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     else:
         anc_onehot = None
 
-    def layer(xcur, bp, mem_k, mem_v, txt_k, txt_v):
+    def layer(xcur, bp, mem_k, mem_v, txt_kv):
         q, k_new, v_new = qkv_project(xcur, bp["attn"], cfg.num_heads)
-        txt_k = jax.lax.dynamic_update_slice(txt_k, k_new, (0, 0, pos, 0))
-        txt_v = jax.lax.dynamic_update_slice(txt_v, v_new, (0, 0, pos, 0))
+        txt_kv = jax.lax.dynamic_update_slice(
+            txt_kv, jnp.concatenate([k_new, v_new], axis=-1), (0, 0, pos, 0)
+        )
         qb = (q[:, :, 0] * scale).reshape(b, beams, h, dh)
         mem_scores = jnp.einsum(
             "bkhd,bhmd->bkhm", qb, mem_k, preferred_element_type=jnp.float32
         )
         if mem_bias is not None:
             mem_scores = mem_scores + mem_bias[:, None, None, :]
-        txt_kb = txt_k.reshape(b, beams, h, t_max, dh)
-        txt_vb = txt_v.reshape(b, beams, h, t_max, dh)
+        kvb = txt_kv.reshape(b, beams, h, t_max, 2 * dh)
+        txt_kb = kvb[..., :dh]
+        txt_vb = kvb[..., dh:]
         if anc_onehot is None:
             txt_scores = jnp.einsum(
                 "bkhd,bkhtd->bkht", qb, txt_kb,
@@ -444,20 +449,16 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
         xnew = layer_norm(
             linear(inter, bp["mlp"]["output"]) + xnew, bp["mlp_ln"], cfg.bert_ln_eps
         )
-        return xnew, (txt_k, txt_v)
+        return xnew, txt_kv
 
     n = cache.num_layers
-    new_txt_k, new_txt_v = [], []
+    new_txt_kv = []
     for li in range(n):
         bp = jax.tree_util.tree_map(lambda a: a[li], params["blocks"])
-        x, (tk, tv) = layer(
-            x, bp, cache.mem_k[li], cache.mem_v[li],
-            cache.txt_k[li], cache.txt_v[li],
+        x, tkv = layer(
+            x, bp, cache.mem_k[li], cache.mem_v[li], cache.txt_kv[li]
         )
-        new_txt_k.append(tk)
-        new_txt_v.append(tv)
+        new_txt_kv.append(tkv)
     logits = output_logits(params, x[:, 0])
-    new_cache = cache._replace(
-        txt_k=tuple(new_txt_k), txt_v=tuple(new_txt_v), length=pos + 1
-    )
+    new_cache = cache._replace(txt_kv=tuple(new_txt_kv), length=pos + 1)
     return logits, new_cache

@@ -17,8 +17,9 @@ Unlike the reference — whose incremental path re-feeds the growing
 sequence and concatenates per-layer history tensors on the host
 (decoder.py:1045-1053) — decoding here uses a static-shape KV cache:
 memory K/V are computed once at prefill (legal because image tokens
-never attend to text), and text K/V live in fixed [L, B, H, T_max, Dh]
-buffers updated with dynamic_update_slice inside the jit'd decode loop.
+never attend to text), and text K/V live in fixed per-layer
+[B, H, T_max, 2*Dh] buffers (K/V interleaved) updated with one
+dynamic_update_slice per layer inside the jit'd decode loop.
 """
 
 from __future__ import annotations

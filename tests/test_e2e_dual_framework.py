@@ -195,3 +195,20 @@ def test_single_image_cli_caption_parity(ws):
     our_cap = re.search(r"output: (.*)", r.stdout + r.stderr).group(1).strip()
     assert len(ref_cap.split()) >= 3
     assert ref_cap == our_cap
+
+
+def test_native_eval_runs_on_e2e_outputs(ws, caption_outputs):
+    """gitax evaluate_on_coco_caption over the (byte-identical) caption
+    TSV + the gt TSV: all native metrics present and sane.  The
+    reference's own metric computation needs pycocotools/pycocoevalcap
+    (unavailable offline) — the conversion stages it shares are compared
+    byte-for-byte above."""
+    ref_tsv, _ = caption_outputs
+    from gitax.evalcap.evaluate import evaluate_on_coco_caption
+
+    out = op.join(ws["ws"], "e2e.eval.json")
+    res = evaluate_on_coco_caption(ref_tsv, op.join(ws["ws"], "gt.caption.tsv"), out)
+    assert {"Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"} <= set(res)
+    for k, val in res.items():
+        assert 0.0 <= val <= 10.0, (k, val)
+    assert op.isfile(out)

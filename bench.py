@@ -89,7 +89,9 @@ def device_metric(model, params):
 
     @jax.jit
     def caption(params, images):
-        return model.generate(params, images, beam=beam, dtype=jnp.bfloat16)
+        return model.generate(
+            params, images, beam=beam, dtype=jnp.bfloat16, fast_prefill=INT8
+        )
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(BATCH, 224, 224, 3), jnp.bfloat16)

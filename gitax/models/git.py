@@ -169,6 +169,7 @@ class GitModel(object):
         max_text_len,
         memory_valid=None,
         dtype=jnp.float32,
+        fast=False,
     ):
         return prefill(
             params["textual"],
@@ -178,6 +179,7 @@ class GitModel(object):
             max_text_len,
             memory_valid=memory_valid,
             dtype=dtype,
+            fast=fast,
         )
 
     def decode_step(self, params, tokens, cache, dtype=jnp.float32):
@@ -200,6 +202,7 @@ class GitModel(object):
         trie=None,
         context_tokens=None,
         context_lengths=None,
+        fast_prefill=False,
     ):
         """Caption/answer generation (reference infer, decoder.py:977-1011).
         Optional text context is appended to the memory with a validity
@@ -236,7 +239,8 @@ class GitModel(object):
         if mode == "beam":
             beam = beam or BeamSearchConfig()
             logits, cache = self.prefill(
-                params, visual, prefix_tokens, beam.max_steps, memory_valid, dtype
+                params, visual, prefix_tokens, beam.max_steps, memory_valid, dtype,
+                fast=fast_prefill,
             )
             step = partial_decode_step(self, params, dtype)
             decoded, logprobs = beam_search(

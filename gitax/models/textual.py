@@ -295,9 +295,16 @@ def prefill(
     max_text_len: int,
     memory_valid=None,
     dtype=jnp.float32,
+    fast=False,
 ):
     """Run [memory; prefix] once, returning last-position logits and a
     cache ready for single-token steps.
+
+    fast=True keeps attention score math in the activation dtype — the
+    prefill materializes [B, H, M+Tp, M+Tp] score tensors, ~300 MB/layer
+    in f32 for GIT_LARGE B=32, so this halves the prefill's dominant
+    traffic.  Off by default (parity mode: f32 scores everywhere in the
+    decoder).
 
     Matches reference semantics where the first beam-search step feeds
     the full prefix (decoder.py:1013-1044).
@@ -316,7 +323,7 @@ def prefill(
     def scan_fn(carry, bp):
         xcur = carry
         q, k, v = qkv_project(xcur, bp["attn"], cfg.num_heads)
-        probs = attention_weights(q, k, mask).astype(v.dtype)
+        probs = attention_weights(q, k, mask, fast=fast).astype(v.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
         attn_out = linear(merge_heads(ctx), bp["attn"]["out"])
         xnew = layer_norm(attn_out + xcur, bp["attn_ln"], cfg.bert_ln_eps)

@@ -92,6 +92,8 @@ class CaptionEngine(object):
             from ..ops.quant import quantize_git_params
 
             params = quantize_git_params(params)
+        self._fast_prefill = bool(int8)  # production fast mode: bf16
+        # prefill score math rides with int8 (both trade exactness)
         self.params = params
         self.tokenizer = tokenizer
         self.transform = transform
@@ -143,7 +145,10 @@ class CaptionEngine(object):
                     # fused on-device normalization for the native path
                     x = images.astype(dtype) / 255.0
                     images = (x - mean.astype(dtype)) / std.astype(dtype)
-                return model.generate(params, images, prefix, beam=beam, dtype=dtype)
+                return model.generate(
+                    params, images, prefix, beam=beam, dtype=dtype,
+                    fast_prefill=self._fast_prefill,
+                )
 
             self._jitted[key] = fn
         return self._jitted[key]

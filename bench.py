@@ -138,7 +138,7 @@ def e2e_metric(model, params):
     engine = CaptionEngine(
         model, params, tok, TestTransform(crop_size=224), batch_size=BATCH,
         beam=BeamSearchConfig(num_beams=4, max_steps=MAX_STEPS),
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, fast_prefill=INT8,  # params arrive pre-quantized
     )
     out = os.path.join(tmp, "out.tsv")
     engine.run_caption_tsv(src, out)  # warm compile on first chunk shapes

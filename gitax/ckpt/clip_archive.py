@@ -71,12 +71,15 @@ def resolve_archive(name_or_path, roots=DEFAULT_ROOTS):
     )
 
 
-def load_clip_archive(name_or_path, roots=DEFAULT_ROOTS, verify="warn"):
+def load_clip_archive(name_or_path, roots=DEFAULT_ROOTS, verify="strict"):
     """torchscript CLIP archive -> dict with gitax params and configs.
 
-    verify: 'strict' = raise on pin mismatch (the reference re-downloads,
-    which a zero-egress host cannot — so it raises), 'warn' = log and
-    continue (synthetic/test archives), False = skip hashing.
+    verify: 'strict' (default) = raise on pin mismatch, matching the
+    reference's refusal to use unverified bytes (CLIP/clip.py:39-42 —
+    it re-downloads, which a zero-egress host cannot, so gitax raises;
+    torchscript archives are pickle containers, never deserialize
+    unverified ones silently); 'warn' = log and continue (synthetic/test
+    archives); False = skip hashing.
 
     Returns {'visual_kind', 'visual_config', 'visual', 'text_config',
     'text', 'input_resolution', 'sha256_verified'}.
@@ -131,7 +134,7 @@ def load_clip_archive(name_or_path, roots=DEFAULT_ROOTS, verify="warn"):
 
 
 def load_image_encoder_from_archive(name_or_path, input_resolution=None,
-                                    roots=DEFAULT_ROOTS, verify="warn"):
+                                    roots=DEFAULT_ROOTS, verify="strict"):
     """The reference get_image_encoder flow (model.py:63-91) offline:
     load the archive's visual tower and, when `input_resolution` differs
     from the archive's, statically resize the positional embedding

@@ -106,17 +106,27 @@ def zero1_partition_specs(params, mesh: Mesh):
 
 
 def zero1_shard_opt_state(opt_state, params, mesh: Mesh):
-    """Place an optax state on the mesh: param-shaped leaves (Adam m/v)
-    get the ZeRO-1 layout, scalars/counters replicate."""
+    """Place an optax state on the mesh: param-STRUCTURED subtrees (Adam
+    mu/nu — any subtree whose pytree structure equals the params') get
+    the ZeRO-1 layout leaf-for-leaf; everything else (step counters,
+    scalars) replicates.  Structural matching, not shape lookup: two
+    same-shaped leaves with different partition specs must not alias."""
     zspecs = zero1_partition_specs(params, mesh)
-    flat_specs = jax.tree_util.tree_leaves(zspecs)
-    flat_params = jax.tree_util.tree_leaves(params)
-    shape_to_spec = {}
-    for p, s in zip(flat_params, flat_specs):
-        shape_to_spec.setdefault(np.shape(p), s)
+    params_def = jax.tree_util.tree_structure(params)
 
-    def place(leaf):
-        spec = shape_to_spec.get(np.shape(leaf), P())
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+    def is_param_tree(node):
+        try:
+            return jax.tree_util.tree_structure(node) == params_def
+        except Exception:
+            return False
 
-    return jax.tree_util.tree_map(place, opt_state)
+    def place(node):
+        if is_param_tree(node):
+            return jax.tree_util.tree_map(
+                lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+                node,
+                zspecs,
+            )
+        return jax.device_put(node, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, opt_state, is_leaf=is_param_tree)

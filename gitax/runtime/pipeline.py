@@ -83,6 +83,7 @@ class CaptionEngine(object):
         decode_workers: int = 8,
         use_native: Optional[bool] = None,
         int8: bool = False,
+        fast_prefill: Optional[bool] = None,
     ):
         self.model = model
         if int8:
@@ -92,8 +93,10 @@ class CaptionEngine(object):
             from ..ops.quant import quantize_git_params
 
             params = quantize_git_params(params)
-        self._fast_prefill = bool(int8)  # production fast mode: bf16
-        # prefill score math rides with int8 (both trade exactness)
+        # production fast mode: bf16 prefill score math rides with int8
+        # (both trade exactness); override with fast_prefill=True when
+        # passing pre-quantized params
+        self._fast_prefill = bool(int8) if fast_prefill is None else bool(fast_prefill)
         self.params = params
         self.tokenizer = tokenizer
         self.transform = transform

@@ -23,8 +23,23 @@ def _stub(name, **attrs):
     return mod
 
 
+def skip_unless_reference_available():
+    """Module-level pytest skip when the read-only reference checkout is
+    absent (e.g. public CI runners) — oracle tests need it to execute."""
+    import os.path as op
+
+    if not op.isdir(REFERENCE_ROOT):
+        import pytest
+
+        pytest.skip(
+            "reference checkout not available at {}".format(REFERENCE_ROOT),
+            allow_module_level=True,
+        )
+
+
 def import_reference_modules():
     """Returns (clip_model_module, decoder_module) from the reference."""
+    skip_unless_reference_available()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     _stub("azfuse", File=object)

@@ -25,6 +25,9 @@ torch = pytest.importorskip("torch")
 sys.path.insert(0, op.dirname(op.abspath(__file__)))
 
 import e2e_common as E
+from reference_compat import skip_unless_reference_available
+
+skip_unless_reference_available()
 
 
 @pytest.fixture(scope="session")

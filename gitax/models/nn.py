@@ -23,7 +23,17 @@ def layer_norm(x, params, eps):
 
 
 def linear(x, params):
-    if "kernel_q8" in params:
+    if "kernel_q8_dyn" in params:
+        # w8a8 (gitax.ops.quant): per-token dynamic activation
+        # quantization + int8 x int8 MXU matmul.  The v5e MXU runs int8
+        # at ~1.7x its bf16 rate (measured 246 vs 144 TOPS at N=8192),
+        # so compute-bound encoder GEMMs get faster, not just smaller.
+        # Quant math in f32 (fuses into the elementwise loop; no HBM
+        # cost), accumulate int32, rescale by row_scale * col_scale.
+        y = _int8_dynamic_matmul(
+            x, params["kernel_q8_dyn"], params["kernel_scale"]
+        )
+    elif "kernel_q8" in params:
         # weight-only int8 (gitax.ops.quant): int8 weights stream from
         # HBM; the convert fuses into the dot, the per-out-channel scale
         # applies post-matmul
@@ -38,6 +48,26 @@ def linear(x, params):
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)
     return y
+
+
+def _int8_dynamic_matmul(x, kernel_q8, kernel_scale):
+    """x [..., K] (float) @ int8 kernel [K, N] with per-row dynamic
+    activation scales: q_x = round(127 x / max|x|_row), y = (q_x @ q_w)
+    * (row_scale * col_scale).  int32 accumulation on the MXU."""
+    dtype = x.dtype
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    amax = jnp.max(jnp.abs(x2).astype(jnp.float32), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(
+        jnp.round(x2.astype(jnp.float32) / a_scale), -127.0, 127.0
+    ).astype(jnp.int8)
+    y32 = jax.lax.dot_general(
+        xq, kernel_q8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = y32.astype(jnp.float32) * a_scale * kernel_scale.astype(jnp.float32)
+    return y.astype(dtype).reshape(*lead, kernel_q8.shape[-1])
 
 
 def quick_gelu(x):

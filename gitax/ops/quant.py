@@ -77,9 +77,48 @@ def quantize_textual_for_decode(textual: dict) -> dict:
     return new
 
 
-def quantize_git_params(params: dict) -> dict:
-    """Whole-model convenience: quantize the textual tower for decoding;
-    the image encoder runs once per image (compute-bound) and stays fp."""
+def quantize_linear_dyn(p: dict) -> dict:
+    """Like quantize_linear but tagged for the w8a8 path: at run time the
+    activations are ALSO quantized (per-token dynamic scales) so the
+    matmul runs int8 x int8 on the MXU at ~1.7x the bf16 rate (v5e,
+    measured).  Use for compute-bound GEMMs (the image encoder); the
+    weight-only tag is for bandwidth-bound ones (the decode loop)."""
+    q = quantize_linear(p)
+    q["kernel_q8_dyn"] = q.pop("kernel_q8")
+    return q
+
+
+def quantize_vit_for_inference(vit: dict) -> dict:
+    """Quantize the ViT encoder's transformer GEMMs (qkv/out/c_fc/c_proj,
+    stacked [L, in, out]) for w8a8 inference.  Patchify, embeddings, LN,
+    and the attention einsums stay in the activation dtype: they are a
+    tiny fraction of encoder time and (for LN/softmax) parity-critical.
+    No reference counterpart — the reference serves fp16 (train.py:270)."""
+    blocks = vit["blocks"]
+    new = dict(vit)
+    new["blocks"] = {
+        "ln_1": blocks["ln_1"],
+        "attn": {
+            "qkv": quantize_linear_dyn(blocks["attn"]["qkv"]),
+            "out": quantize_linear_dyn(blocks["attn"]["out"]),
+        },
+        "ln_2": blocks["ln_2"],
+        "mlp": {
+            "c_fc": quantize_linear_dyn(blocks["mlp"]["c_fc"]),
+            "c_proj": quantize_linear_dyn(blocks["mlp"]["c_proj"]),
+        },
+    }
+    return new
+
+
+def quantize_git_params(params: dict, encoder: bool = False) -> dict:
+    """Whole-model convenience: quantize the textual tower for decoding
+    (weight-only — the decode loop is bandwidth-bound).  encoder=True
+    additionally puts the image encoder's GEMMs on the w8a8 path (the
+    encoder is compute-bound, so it needs the int8 MXU rate, which
+    requires both operands int8)."""
     new = dict(params)
     new["textual"] = quantize_textual_for_decode(params["textual"])
+    if encoder and "image_encoder" in new:
+        new["image_encoder"] = quantize_vit_for_inference(new["image_encoder"])
     return new

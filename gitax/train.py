@@ -116,5 +116,85 @@ def speed_test_forward_backward(duplicate=32, iterations=1000, dtype="bfloat16")
     logging.info("final loss %s", float(metrics["loss"]))
 
 
+def finetune(
+    image_tsv,
+    caption_tsv,
+    model_name="GIT_BASE",
+    checkpoint=None,
+    num_steps=1000,
+    batch_size=8,
+    learning_rate=1e-5,
+    save_dir=None,
+    save_every=500,
+    resume=True,
+    dtype="bfloat16",
+    remat=False,
+    data_parallel=None,
+    **kwargs,
+):
+    """Fine-tune a zoo model on a TSV caption dataset (gitax-native; the
+    reference leaves the trainer to the user, README.md:235-237).
+
+        python -m gitax.train -p "{'type': 'finetune',
+            'image_tsv': 'data/coco/train.img.tsv',
+            'caption_tsv': 'data/coco/train.caption.tsv',
+            'model_name': 'GIT_BASE_COCO', 'checkpoint':
+            'output/GIT_BASE_COCO/snapshot/model.pt', 'num_steps': 10000,
+            'save_dir': 'output/ft'}"
+
+    checkpoint accepts a reference torch `model.pt` (converted on load)
+    or an Orbax directory.  data_parallel=N shards the batch over the
+    first N local devices (ZeRO-1 moments included).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models import GitModel
+    from .models.config import get_model_param
+    from .training.finetune import run_finetune
+
+    param = get_model_param(model_name) if model_name else {}
+    model = GitModel.from_param(param)
+    params = None
+    if checkpoint:
+        if checkpoint.endswith(".pt"):
+            from .ckpt import convert_git_state_dict, load_torch_checkpoint
+
+            params = convert_git_state_dict(
+                load_torch_checkpoint(checkpoint), model.cfg
+            )
+        else:
+            from .ckpt.serialization import restore_params
+
+            params = restore_params(
+                checkpoint, template=model.init_params(jax.random.PRNGKey(0))
+            )
+
+    mesh = None
+    if data_parallel:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(data=int(data_parallel), model=1)
+
+    state = run_finetune(
+        image_tsv,
+        caption_tsv,
+        model,
+        params=params,
+        num_steps=num_steps,
+        batch_size=batch_size,
+        learning_rate=learning_rate,
+        save_dir=save_dir,
+        save_every=save_every,
+        resume=resume,
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        remat=remat,
+        mesh=mesh,
+        **kwargs,
+    )
+    logging.info("finetune done at step %d", int(state.step))
+    return state
+
+
 if __name__ == "__main__":
     dispatch_main(globals())

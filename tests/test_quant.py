@@ -90,6 +90,59 @@ def test_int8_logit_fidelity():
     assert float(jnp.abs(lg_fp - lg_q8).max()) < 0.02 * max(denom, 1.0)
 
 
+def test_w8a8_linear_close():
+    """Dynamic-activation int8 matmul: error bounded by the combined
+    weight + activation quantization noise."""
+    from gitax.ops.quant import quantize_linear_dyn
+
+    rng = np.random.RandomState(7)
+    p = {"kernel": rng.randn(64, 96).astype(np.float32) * 0.1,
+         "bias": rng.randn(96).astype(np.float32) * 0.1}
+    x = jnp.asarray(rng.randn(3, 5, 64), jnp.float32)
+    y_fp = linear(x, {k: jnp.asarray(v) for k, v in p.items()})
+    q = quantize_linear_dyn(p)
+    assert q["kernel_q8_dyn"].dtype == np.int8
+    y_q = linear(x, {k: jnp.asarray(v) for k, v in q.items()})
+    err = float(jnp.abs(y_fp - y_q).max())
+    ref = float(jnp.abs(y_fp).max())
+    assert err < 0.02 * max(ref, 1.0), (err, ref)
+
+
+def test_w8a8_encoder_forward_close():
+    """w8a8-quantized ViT tracks the fp encoder within ~2% relative."""
+    from gitax.models.vit import vit_forward
+    from gitax.ops.quant import quantize_vit_for_inference
+
+    model = GitModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(8))
+    vit = params["image_encoder"]
+    rng = np.random.RandomState(9)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    y_fp = vit_forward(vit, img, CFG.encoder)
+    y_q = vit_forward(quantize_vit_for_inference(vit), img, CFG.encoder)
+    err = float(jnp.abs(y_fp - y_q).max())
+    ref = float(jnp.abs(y_fp).std())
+    assert err < 0.1 * max(ref, 1e-3), (err, ref)
+
+
+def test_w8a8_generate_end_to_end():
+    """encoder=True quantization runs the full search; with separated
+    logits the decoded tokens match the fp run exactly."""
+    model = GitModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(10))
+    params["textual"]["embedding"]["words"] = (
+        params["textual"]["embedding"]["words"] * 30.0
+    )
+    qparams = quantize_git_params(params, encoder=True)
+    assert "kernel_q8_dyn" in qparams["image_encoder"]["blocks"]["mlp"]["c_fc"]
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    beam = BeamSearchConfig(num_beams=4, max_steps=10, eos_id=2)
+    seqs_fp, _ = model.generate(params, img, beam=beam, sos_id=1)
+    seqs_q8, _ = model.generate(qparams, img, beam=beam, sos_id=1)
+    np.testing.assert_array_equal(np.asarray(seqs_fp), np.asarray(seqs_q8))
+
+
 def test_engine_int8_smoke():
     from gitax.preprocess.transforms import TestTransform
     from gitax.runtime.pipeline import CaptionEngine

@@ -245,3 +245,132 @@ def test_zero1_optimizer_sharding_matches_unsharded():
         jax.tree_util.tree_leaves(jax.device_get(s_ref.params)),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def _finetune_fixture(tmp_path, n_images=3):
+    """Tiny image+caption TSV pair in the prepare_coco_test format."""
+    import base64
+    import io as _io
+    import json
+
+    from PIL import Image
+
+    from gitax.io.tsv import tsv_writer
+
+    rng = np.random.RandomState(0)
+
+    def img_row(i):
+        arr = rng.randint(0, 255, (40, 48, 3), np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG")
+        return "k{}".format(i), base64.b64encode(buf.getvalue()).decode()
+
+    img_tsv = str(tmp_path / "train.img.tsv")
+    cap_tsv = str(tmp_path / "train.caption.tsv")
+    tsv_writer([img_row(i) for i in range(n_images)], img_tsv)
+    tsv_writer(
+        [
+            ("k{}".format(i),
+             json.dumps([{"caption": "a dog"}, {"caption": "a cat sits"}]))
+            for i in range(n_images)
+        ],
+        cap_tsv,
+    )
+    return img_tsv, cap_tsv
+
+
+def test_finetune_dataset_and_iterator(tmp_path):
+    from gitax.preprocess.train_transforms import TrainTransform
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+    from gitax.training import TSVCaptionDataset, batch_iterator
+
+    img_tsv, cap_tsv = _finetune_fixture(tmp_path)
+    ds = TSVCaptionDataset(img_tsv, cap_tsv)
+    assert len(ds) == 6  # 3 images x 2 captions
+    # epoch shuffles are deterministic per (seed, epoch) and differ by epoch
+    o0, o1 = ds.epoch_order(0, seed=3), ds.epoch_order(1, seed=3)
+    np.testing.assert_array_equal(o0, ds.epoch_order(0, seed=3))
+    assert not np.array_equal(o0, o1)
+
+    tok = BertTokenizer(build_tiny_vocab(words=["a", "dog", "cat", "sits"]))
+    tr = TrainTransform(train_crop_size=32, min_size_range32=(16, 32),
+                        patch_size=16, seed=0)
+    batches = list(
+        batch_iterator(ds, tok, tr, batch_size=4, num_steps=3, seed=0)
+    )
+    assert len(batches) == 3
+    for b in batches:
+        assert b["caption_tokens"].shape == (4, 40)  # fixed-length pad
+        assert b["need_predict"].shape == (4, 40)
+    # multi-scale: crop size cycles with the step index
+    assert batches[0]["image"].shape[1] == tr.crop_size_for(0)
+    assert batches[1]["image"].shape[1] == tr.crop_size_for(1)
+
+
+def test_run_finetune_saves_and_resumes(tmp_path):
+    from gitax.ckpt.serialization import latest_step
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+    from gitax.training import run_finetune
+
+    img_tsv, cap_tsv = _finetune_fixture(tmp_path)
+    tok = BertTokenizer(build_tiny_vocab(words=["a", "dog", "cat", "sits"]))
+    model = GitModel(GitConfig(
+        encoder=ViTConfig(16, 32, 1, 2, 32),
+        visual_feature_size=32,
+        vocab_size=tok.vocab_size,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=2,
+        feedforward_size=64,
+        max_caption_length=64,
+    ))
+    save_dir = str(tmp_path / "ckpt")
+    state = run_finetune(
+        img_tsv, cap_tsv, model, num_steps=2, batch_size=2,
+        multi_scale=False, train_crop_size=32, dtype=jnp.float32,
+        save_dir=save_dir, save_every=1, tokenizer=tok, warmup_steps=1,
+        log_every=1,
+    )
+    assert int(state.step) == 2
+    assert latest_step(save_dir) == 2
+
+    # resume: picks up at step 2 and runs to 4
+    state2 = run_finetune(
+        img_tsv, cap_tsv, model, num_steps=4, batch_size=2,
+        multi_scale=False, train_crop_size=32, dtype=jnp.float32,
+        save_dir=save_dir, save_every=2, tokenizer=tok, warmup_steps=1,
+        log_every=1,
+    )
+    assert int(state2.step) == 4
+    assert latest_step(save_dir) == 4
+
+
+def test_run_finetune_mesh_zero1(tmp_path):
+    from gitax.parallel import make_mesh
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+    from gitax.training import run_finetune
+
+    img_tsv, cap_tsv = _finetune_fixture(tmp_path)
+    tok = BertTokenizer(build_tiny_vocab(words=["a", "dog", "cat", "sits"]))
+    model = GitModel(GitConfig(
+        encoder=ViTConfig(16, 32, 1, 2, 32),
+        visual_feature_size=32,
+        vocab_size=tok.vocab_size,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=2,
+        feedforward_size=64,
+        max_caption_length=64,
+    ))
+    mesh = make_mesh(data=4, model=2)
+    state = run_finetune(
+        img_tsv, cap_tsv, model, num_steps=2, batch_size=8,
+        multi_scale=False, train_crop_size=32, dtype=jnp.float32,
+        tokenizer=tok, warmup_steps=1, mesh=mesh, log_every=1,
+    )
+    assert int(state.step) == 2
+    sharded = any(
+        hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(state.opt_state)
+    )
+    assert sharded, "ZeRO-1 moments did not shard"

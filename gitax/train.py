@@ -196,5 +196,64 @@ def finetune(
     return state
 
 
+def scst_finetune(
+    image_tsv,
+    caption_tsv,
+    model_name="GIT_BASE",
+    checkpoint=None,
+    num_steps=1000,
+    batch_size=8,
+    learning_rate=2e-6,
+    save_dir=None,
+    **kwargs,
+):
+    """Self-critical (CIDEr-reward) fine-tuning CLI (gitax-native; the
+    reference's SCST path raises NotImplementedError, decoder.py:804-813).
+
+        python -m gitax.train -p "{'type': 'scst_finetune',
+            'image_tsv': 'data/coco/train.img.tsv',
+            'caption_tsv': 'data/coco/train.caption.tsv',
+            'model_name': 'GIT_BASE_COCO',
+            'checkpoint': 'output/ft', 'num_steps': 4000,
+            'save_dir': 'output/scst'}"
+    """
+    import jax
+
+    from .models import GitModel
+    from .models.config import get_model_param
+    from .training.finetune import run_scst
+
+    param = get_model_param(model_name) if model_name else {}
+    model = GitModel.from_param(param)
+    params = None
+    if checkpoint:
+        if checkpoint.endswith(".pt"):
+            from .ckpt import convert_git_state_dict, load_torch_checkpoint
+
+            params = convert_git_state_dict(
+                load_torch_checkpoint(checkpoint), model.cfg
+            )
+        else:
+            from .ckpt.serialization import restore_params
+
+            params = restore_params(
+                checkpoint, template=model.init_params(jax.random.PRNGKey(0))
+            )
+
+    state = run_scst(
+        image_tsv,
+        caption_tsv,
+        model,
+        params=params,
+        num_steps=num_steps,
+        batch_size=batch_size,
+        learning_rate=learning_rate,
+        save_dir=save_dir,
+        **kwargs,
+    )
+    logging.info("scst_finetune done at step %d", int(state.step))
+    return state
+
+
 if __name__ == "__main__":
     dispatch_main(globals())

@@ -138,6 +138,63 @@ def batch_iterator(
         yield item
 
 
+def evaluate_model_on_tsv(
+    model,
+    params,
+    tokenizer,
+    image_tsv: str,
+    caption_tsv: str,
+    *,
+    batch_size: int = 8,
+    crop_size: int = 224,
+    num_beams: int = 4,
+    max_steps: int = 40,
+    dtype=None,
+) -> dict:
+    """Caption a val image TSV with the current params and score against
+    the gt caption TSV with the native metric set (BLEU-4 / METEOR /
+    ROUGE-L / CIDEr-D) — the in-training equivalent of the reference's
+    offline `evaluate_on_coco_caption` flow (inference.py:277-313)."""
+    import jax.numpy as jnp
+
+    from ..decode import BeamSearchConfig
+    from ..evalcap.evaluate import score_captions
+    from ..preprocess.transforms import TestTransform
+    from ..runtime.pipeline import CaptionEngine
+
+    engine = CaptionEngine(
+        model,
+        params,
+        tokenizer,
+        TestTransform(crop_size=crop_size),
+        batch_size=batch_size,
+        beam=BeamSearchConfig(num_beams=num_beams, max_steps=max_steps),
+        dtype=dtype or jnp.bfloat16,
+    )
+    images = TSVFile(image_tsv)
+    gts = TSVFile(caption_tsv)
+    assert len(images) == len(gts), (len(images), len(gts))
+    candidates, references = {}, {}
+    for start in range(0, len(images), batch_size):
+        idxs = list(range(start, min(start + batch_size, len(images))))
+        arrs, keep = [], []
+        for i in idxs:
+            arr = engine._decode_row(images[i][1])
+            if arr is not None:
+                arrs.append(arr)
+                keep.append(i)
+        if not arrs:
+            continue
+        caps = engine.generate_batch(
+            arrs, [[tokenizer.cls_token_id]] * len(arrs)
+        )
+        for i, cap in zip(keep, caps):
+            key = images.get_key(i)
+            candidates[key] = cap
+            references[key] = [c["caption"] for c in json.loads(gts[i][1])]
+    return score_captions(candidates, references)
+
+
 def run_finetune(
     image_tsv: str,
     caption_tsv: str,
@@ -162,6 +219,10 @@ def run_finetune(
     tokenizer=None,
     log_every: int = 10,
     seed: int = 0,
+    val_image_tsv: Optional[str] = None,
+    val_caption_tsv: Optional[str] = None,
+    validate_every: int = 0,
+    val_kwargs: Optional[dict] = None,
 ):
     """Fine-tune `model` on a TSV caption dataset; returns final TrainState.
 
@@ -240,6 +301,17 @@ def run_finetune(
     step_fn = jax.jit(make_train_step(model, tx, dtype=dtype, remat=remat),
                       donate_argnums=(0,))
 
+    def validate(step_now):
+        metrics = evaluate_model_on_tsv(
+            model, state.params, tokenizer, val_image_tsv, val_caption_tsv,
+            dtype=dtype, **(val_kwargs or {}),
+        )
+        logging.info(
+            "validation @ step %d: %s", step_now,
+            " ".join("{}={:.4f}".format(k, v) for k, v in metrics.items()),
+        )
+        return metrics
+
     def run_steps():
         nonlocal state
         t0 = time.time()
@@ -263,12 +335,136 @@ def run_finetune(
                 t0 = time.time()
             if save_dir and save_every and step_now % save_every == 0:
                 save_train_state(save_dir, state, step=step_now)
+            if (
+                val_image_tsv
+                and validate_every
+                and step_now % validate_every == 0
+            ):
+                validate(step_now)
         if save_dir:
             save_train_state(save_dir, state, step=num_steps)
+        if val_image_tsv:
+            validate(num_steps)
 
     if mesh is not None:
         with jax.sharding.set_mesh(mesh):
             run_steps()
     else:
         run_steps()
+    return state
+
+
+def run_scst(
+    image_tsv: str,
+    caption_tsv: str,
+    model,
+    params=None,
+    *,
+    num_steps: int = 1000,
+    batch_size: int = 8,
+    num_samples: int = 5,
+    learning_rate: float = 2e-6,
+    max_decode_steps: int = 40,
+    temperature: float = 1.0,
+    crop_size: int = 224,
+    dtype=None,
+    save_dir: Optional[str] = None,
+    save_every: int = 500,
+    resume: bool = True,
+    tokenizer=None,
+    log_every: int = 10,
+    seed: int = 0,
+):
+    """Self-critical sequence training over a TSV dataset: per step, a
+    batch of images is greedy-decoded (baseline) + sampled N times, the
+    native CIDEr-D rewards form REINFORCE advantages, and one gradient
+    step updates the params (training/scst.py).  The reference only
+    sketches this and raises NotImplementedError (decoder.py:804-813).
+
+    Uses each image's FULL gt caption list as the reward references
+    (standard SCST protocol).  Returns the final TrainState.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..ckpt.serialization import (
+        latest_step,
+        restore_train_state,
+        save_train_state,
+    )
+    from .scst import ScstTrainer
+    from .trainer import init_train_state
+
+    if tokenizer is None:
+        from ..inference import _load_tokenizer
+
+        tokenizer = _load_tokenizer()
+    dtype = dtype or jnp.float32
+
+    images = TSVFile(image_tsv)
+    gts = TSVFile(caption_tsv)
+    assert len(images) == len(gts), (len(images), len(gts))
+    gt_lists = [
+        [c["caption"] for c in json.loads(gts[i][1])] for i in range(len(gts))
+    ]
+
+    transform = TrainTransform(
+        train_crop_size=crop_size, min_size_range32=None, seed=seed
+    )
+
+    tx = optax.adamw(learning_rate)
+    state = init_train_state(model, jax.random.PRNGKey(seed), tx, params=params)
+    start_step = 0
+    if save_dir and resume:
+        last = latest_step(save_dir)
+        if last is not None:
+            state = restore_train_state(save_dir, state, step=last)
+            start_step = int(state.step)
+            logging.info("resumed from %s at step %d", save_dir, start_step)
+
+    trainer = ScstTrainer(
+        model,
+        tokenizer,
+        tx,
+        num_samples=num_samples,
+        max_steps=max_decode_steps,
+        temperature=temperature,
+        dtype=dtype,
+        sos_id=tokenizer.cls_token_id,
+        eos_id=tokenizer.sep_token_id,
+    )
+
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    t0 = time.time()
+    for step_now in range(start_step + 1, num_steps + 1):
+        idxs = rng.choice(len(images), size=batch_size, replace=False) \
+            if len(images) >= batch_size else rng.randint(0, len(images), batch_size)
+        batch_imgs, batch_gts = [], []
+        for i in idxs:
+            img = image_from_base64(images[int(i)][1])
+            if img is None:
+                continue
+            batch_imgs.append(transform({"image": img})["image"])
+            batch_gts.append(gt_lists[int(i)])
+        if not batch_imgs:
+            continue
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.step(
+            state, jnp.asarray(np.stack(batch_imgs), dtype), batch_gts, sub
+        )
+        if step_now % log_every == 0:
+            dt = time.time() - t0
+            logging.info(
+                "scst step %d/%d loss %.4f reward(sample/greedy) %.3f/%.3f  %.1f img/s",
+                step_now, num_steps, metrics["loss"],
+                metrics["reward_sample"], metrics["reward_greedy"],
+                log_every * batch_size / dt,
+            )
+            t0 = time.time()
+        if save_dir and save_every and step_now % save_every == 0:
+            save_train_state(save_dir, state, step=step_now)
+    if save_dir:
+        save_train_state(save_dir, state, step=num_steps)
     return state

@@ -374,3 +374,77 @@ def test_run_finetune_mesh_zero1(tmp_path):
         for leaf in jax.tree_util.tree_leaves(state.opt_state)
     )
     assert sharded, "ZeRO-1 moments did not shard"
+
+
+def test_finetune_with_validation(tmp_path, caplog):
+    """validate_every triggers an in-training eval whose metric dict
+    carries the native scorer set (CIDEr et al.)."""
+    import logging
+
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+    from gitax.training import run_finetune
+
+    img_tsv, cap_tsv = _finetune_fixture(tmp_path)
+    tok = BertTokenizer(build_tiny_vocab(words=["a", "dog", "cat", "sits"]))
+    model = GitModel(GitConfig(
+        encoder=ViTConfig(16, 32, 1, 2, 32),
+        visual_feature_size=32,
+        vocab_size=tok.vocab_size,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=2,
+        feedforward_size=64,
+        max_caption_length=64,
+    ))
+    with caplog.at_level(logging.INFO):
+        run_finetune(
+            img_tsv, cap_tsv, model, num_steps=2, batch_size=2,
+            multi_scale=False, train_crop_size=32, dtype=jnp.float32,
+            tokenizer=tok, warmup_steps=1, log_every=1,
+            val_image_tsv=img_tsv, val_caption_tsv=cap_tsv,
+            validate_every=2,
+            val_kwargs={"crop_size": 32, "num_beams": 2, "max_steps": 6,
+                        "batch_size": 2},
+        )
+    vals = [m for m in caplog.messages if m.startswith("validation @")]
+    assert vals and "CIDEr=" in vals[0], vals[:3]
+
+
+def test_score_captions_perfect_corpus():
+    """cand == ref over a multi-document corpus: BLEU exactly 1, CIDEr-D
+    at its 10.0 ceiling (IDF needs corpus-level df, so a single document
+    scores 0 by construction)."""
+    from gitax.evalcap.evaluate import score_captions
+
+    docs = {
+        "a": "a small dog sits on the mat",
+        "b": "the red car drives down a road",
+        "c": "two boats sail across the blue water",
+    }
+    m = score_captions(docs, {k: [v] for k, v in docs.items()})
+    assert abs(m["Bleu_1"] - 1.0) < 1e-6 and m["CIDEr"] > 9.0, m
+
+
+def test_run_scst_tsv_loop(tmp_path):
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+    from gitax.training import run_scst
+
+    img_tsv, cap_tsv = _finetune_fixture(tmp_path)
+    tok = BertTokenizer(build_tiny_vocab(words=["a", "dog", "cat", "sits"]))
+    model = GitModel(GitConfig(
+        encoder=ViTConfig(16, 32, 1, 2, 32),
+        visual_feature_size=32,
+        vocab_size=tok.vocab_size,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=2,
+        feedforward_size=64,
+        max_caption_length=64,
+    ))
+    state = run_scst(
+        img_tsv, cap_tsv, model, num_steps=2, batch_size=2,
+        num_samples=2, max_decode_steps=6, crop_size=32,
+        tokenizer=tok, log_every=1,
+        save_dir=str(tmp_path / "scst_ckpt"), save_every=1,
+    )
+    assert int(state.step) == 2

@@ -87,10 +87,15 @@ def build_model():
 def device_metric(model, params):
     beam = BeamSearchConfig(num_beams=4, max_steps=MAX_STEPS)
 
+    from gitax.ops.flash_attention import use_pallas
+
+    decode_kernel = use_pallas()
+
     @jax.jit
     def caption(params, images):
         return model.generate(
-            params, images, beam=beam, dtype=jnp.bfloat16, fast_prefill=INT8
+            params, images, beam=beam, dtype=jnp.bfloat16, fast_prefill=INT8,
+            decode_kernel=decode_kernel,
         )
 
     rng = np.random.RandomState(0)

@@ -150,7 +150,7 @@ def _tile_beams(cache: KVCache, num_beams: int) -> KVCache:
     decode_step broadcasts attention over the beam axis instead of
     paying beam-tiled memory-K/V HBM traffic every step."""
     return cache._replace(
-        txt_kv=tuple(jnp.repeat(kv, num_beams, axis=0) for kv in cache.txt_kv),
+        txt_kv=tuple(jnp.repeat(kv, num_beams, axis=1) for kv in cache.txt_kv),
     )
 
 

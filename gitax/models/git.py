@@ -170,6 +170,7 @@ class GitModel(object):
         memory_valid=None,
         dtype=jnp.float32,
         fast=False,
+        kernel_memory=False,
     ):
         return prefill(
             params["textual"],
@@ -180,10 +181,13 @@ class GitModel(object):
             memory_valid=memory_valid,
             dtype=dtype,
             fast=fast,
+            kernel_memory=kernel_memory,
         )
 
-    def decode_step(self, params, tokens, cache, dtype=jnp.float32):
-        return decode_step(params["textual"], tokens, cache, self.cfg, dtype=dtype)
+    def decode_step(self, params, tokens, cache, dtype=jnp.float32, kernel=False):
+        return decode_step(
+            params["textual"], tokens, cache, self.cfg, dtype=dtype, kernel=kernel
+        )
 
     # -- generation --------------------------------------------------------
     def generate(
@@ -203,6 +207,7 @@ class GitModel(object):
         context_tokens=None,
         context_lengths=None,
         fast_prefill=False,
+        decode_kernel=False,
     ):
         """Caption/answer generation (reference infer, decoder.py:977-1011).
         Optional text context is appended to the memory with a validity
@@ -240,9 +245,9 @@ class GitModel(object):
             beam = beam or BeamSearchConfig()
             logits, cache = self.prefill(
                 params, visual, prefix_tokens, beam.max_steps, memory_valid, dtype,
-                fast=fast_prefill,
+                fast=fast_prefill, kernel_memory=decode_kernel,
             )
-            step = partial_decode_step(self, params, dtype)
+            step = partial_decode_step(self, params, dtype, kernel=decode_kernel)
             decoded, logprobs = beam_search(
                 step, logits, cache, prefix_tokens, beam, rng=rng
             )
@@ -278,8 +283,8 @@ class GitModel(object):
         raise ValueError(mode)
 
 
-def partial_decode_step(model: GitModel, params, dtype):
+def partial_decode_step(model: GitModel, params, dtype, kernel=False):
     def step(tokens, cache):
-        return model.decode_step(params, tokens, cache, dtype)
+        return model.decode_step(params, tokens, cache, dtype, kernel=kernel)
 
     return step

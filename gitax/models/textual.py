@@ -246,8 +246,10 @@ class KVCache(NamedTuple):
     mem_k/mem_v: L-tuples of [B, H, M, Dh] — memory keys/values per
       layer, computed once (image tokens never attend to text, so the
       memory stream is closed under prefill).
-    txt_kv: L-tuple of [B, H, T_max, 2*Dh] — text keys and values
-      INTERLEAVED on the feature axis (k = [..., :Dh], v = [..., Dh:]),
+    txt_kv: L-tuple of [T_max, B, H*2*Dh] — text keys and values
+      per head INTERLEAVED on the (flat) lane axis
+      (head h's keys at [..., h*2Dh : h*2Dh+Dh], values at
+      [..., h*2Dh+Dh : (h+1)*2Dh]),
       filled progressively by one dynamic_update_slice per layer per
       step.  Per-layer TUPLES, not one stacked [L, ...] array: scanning
       layers over a stacked buffer makes XLA slice + restack the full
@@ -255,7 +257,10 @@ class KVCache(NamedTuple):
       for GIT_LARGE beam-4, ~35% of the decode loop).  K/V fused into
       one buffer because the decode loop is per-op-overhead-bound on
       this backend (~25 us/op): one update + one tile op per layer
-      instead of two.
+      instead of two.  The TIME axis is MAJOR: XLA-TPU only performs the
+      per-step dynamic_update_slice in place when the updated dim is the
+      leading one (measured: 0.1 us vs a full 9.4 MB buffer copy at
+      27.8 us/layer/step with [B, H, T, 2Dh]).
     anc: optional int32 [B*beams, T_max] beam-ancestry table: the cache
       ROW (within the batch element's beam group) whose position-t entry
       belongs to this beam's history.  When present, beam search never
@@ -273,10 +278,14 @@ class KVCache(NamedTuple):
     memory_valid: Optional[jax.Array]
     length: jax.Array
     anc: Optional[jax.Array] = None
+    # L-tuple of [B, H, M, 2Dh] — memory k|v interleaved per head, the
+    # layout the fused decode kernel consumes (ops/decode_attention.py).
+    # Built at prefill when kernel_memory=True; None otherwise.
+    mem_kv: Optional[tuple] = None
 
     @property
     def max_text_len(self):
-        return self.txt_kv[0].shape[2]
+        return self.txt_kv[0].shape[0]
 
     @property
     def num_layers(self):
@@ -296,9 +305,11 @@ def prefill(
     memory_valid=None,
     dtype=jnp.float32,
     fast=False,
+    kernel_memory=False,
 ):
     """Run [memory; prefix] once, returning last-position logits and a
-    cache ready for single-token steps.
+    cache ready for single-token steps.  kernel_memory=True additionally
+    emits the interleaved memory k|v the fused decode kernel reads.
 
     fast=True keeps attention score math in the activation dtype — the
     prefill materializes [B, H, M+Tp, M+Tp] score tensors, ~300 MB/layer
@@ -331,13 +342,21 @@ def prefill(
         xnew = layer_norm(
             linear(inter, bp["mlp"]["output"]) + xnew, bp["mlp_ln"], cfg.bert_ln_eps
         )
-        txt_kv = jnp.pad(
-            jnp.concatenate([k[:, :, m:], v[:, :, m:]], axis=-1),
-            ((0, 0), (0, 0), (0, pad), (0, 0)),
+        # time-major text cache (see KVCache docstring): [T_max, B, H*2Dh]
+        tkv = jnp.concatenate([k[:, :, m:], v[:, :, m:]], axis=-1).transpose(
+            2, 0, 1, 3
         )
-        return xnew, (k[:, :, :m], v[:, :, :m], txt_kv)
+        txt_kv = jnp.pad(
+            tkv.reshape(tkv.shape[0], b, h * 2 * dh),
+            ((0, pad), (0, 0), (0, 0)),
+        )
+        outs = (k[:, :, :m], v[:, :, :m], txt_kv)
+        if kernel_memory:
+            outs = outs + (jnp.concatenate([k[:, :, :m], v[:, :, :m]], axis=-1),)
+        return xnew, outs
 
-    x, (mem_k, mem_v, txt_kv) = jax.lax.scan(scan_fn, x, params["blocks"])
+    x, scanned = jax.lax.scan(scan_fn, x, params["blocks"])
+    mem_k, mem_v, txt_kv = scanned[:3]
     logits = output_logits(params, x[:, m + tp - 1 : m + tp])[:, 0]
     n_layers = mem_k.shape[0]
     # per-layer tuples (see KVCache docstring); the unstack copies once
@@ -348,12 +367,21 @@ def prefill(
         txt_kv=tuple(txt_kv[i] for i in range(n_layers)),
         memory_valid=memory_valid,
         length=jnp.asarray(tp, jnp.int32),
+        mem_kv=tuple(scanned[3][i] for i in range(n_layers))
+        if kernel_memory
+        else None,
     )
     return logits, cache
 
 
-def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float32):
+def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float32,
+                kernel=False):
     """One incremental step: tokens [B*beams] at text position cache.length.
+
+    kernel=True routes the per-layer attention (cache write + memory and
+    ancestry-selected text scores + softmax + context) through the fused
+    Pallas kernel (ops/decode_attention.py) — TPU only, requires an
+    ancestry table (beam search sets one).  Bit-exact with the XLA path.
 
     Memory K/V are stored ONCE per batch element ([B, H, M, Dh] per
     layer) while text K/V carry the full beam axis ([B*beams, H, T, Dh]
@@ -388,7 +416,12 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     else:
         mem_bias = None  # [B, M] when present
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(dtype)
-    if cache.anc is not None:
+    use_kernel = kernel and cache.anc is not None
+    if use_kernel:
+        from ..ops.decode_attention import kernel_supported
+
+        use_kernel = kernel_supported(b, beams)
+    if cache.anc is not None and not use_kernel:
         # ancestry one-hot [B, K, T, J]: position t of beam k lives in
         # cache row j of the same beam group (gather-on-read; see
         # KVCache docstring)
@@ -398,23 +431,76 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     else:
         anc_onehot = None
 
+    if use_kernel:
+        from ..ops.decode_attention import decode_attention
+
+        assert cache.mem_kv is not None, (
+            "decode_step(kernel=True) needs prefill(kernel_memory=True)"
+        )
+        if mem_bias is not None:
+            kernel_bias = mem_bias  # [B, M] f32
+        else:
+            kernel_bias = jnp.zeros((b, m), jnp.float32)
+
+        def layer(xcur, bp, mem_kv, txt_kv):
+            q, k_new, v_new = qkv_project(xcur, bp["attn"], cfg.num_heads)
+            qs = q[:, :, 0] * scale  # [BK, H, Dh]
+            qz = jnp.concatenate([qs, jnp.zeros_like(qs)], axis=-1)
+            kvn = jnp.concatenate([k_new[:, :, 0], v_new[:, :, 0]], axis=-1)
+            ctx128, txt_kv = decode_attention(
+                qz.reshape(bk, h * 2 * dh),
+                kvn.reshape(bk, h * 2 * dh),
+                txt_kv,
+                cache.anc,
+                pos,
+                mem_kv,
+                kernel_bias,
+                beams=beams,
+                num_heads=h,
+                head_dim=dh,
+            )
+            ctx = ctx128.reshape(bk, h, 2 * dh)[..., dh:].reshape(
+                bk, 1, h * dh
+            )
+            attn_out = linear(ctx, bp["attn"]["out"])
+            xnew = layer_norm(attn_out + xcur, bp["attn_ln"], cfg.bert_ln_eps)
+            inter = gelu_erf(linear(xnew, bp["mlp"]["intermediate"]))
+            xnew = layer_norm(
+                linear(inter, bp["mlp"]["output"]) + xnew,
+                bp["mlp_ln"], cfg.bert_ln_eps,
+            )
+            return xnew, txt_kv
+
+        n = cache.num_layers
+        new_txt_kv = []
+        x_cur = x
+        for li in range(n):
+            bp = jax.tree_util.tree_map(lambda a: a[li], params["blocks"])
+            x_cur, tkv = layer(x_cur, bp, cache.mem_kv[li], cache.txt_kv[li])
+            new_txt_kv.append(tkv)
+        logits = output_logits(params, x_cur[:, 0])
+        new_cache = cache._replace(txt_kv=tuple(new_txt_kv), length=pos + 1)
+        return logits, new_cache
+
     def layer(xcur, bp, mem_k, mem_v, txt_kv):
         q, k_new, v_new = qkv_project(xcur, bp["attn"], cfg.num_heads)
-        txt_kv = jax.lax.dynamic_update_slice(
-            txt_kv, jnp.concatenate([k_new, v_new], axis=-1), (0, 0, pos, 0)
-        )
+        # time-major in-place cache write: [1, BK, H*2Dh] at row `pos`
+        new_row = jnp.concatenate([k_new, v_new], axis=-1).transpose(
+            2, 0, 1, 3
+        ).reshape(1, bk, h * 2 * dh)
+        txt_kv = jax.lax.dynamic_update_slice(txt_kv, new_row, (pos, 0, 0))
         qb = (q[:, :, 0] * scale).reshape(b, beams, h, dh)
         mem_scores = jnp.einsum(
             "bkhd,bhmd->bkhm", qb, mem_k, preferred_element_type=jnp.float32
         )
         if mem_bias is not None:
             mem_scores = mem_scores + mem_bias[:, None, None, :]
-        kvb = txt_kv.reshape(b, beams, h, t_max, 2 * dh)
+        kvb = txt_kv.reshape(t_max, b, beams, h, 2 * dh)
         txt_kb = kvb[..., :dh]
         txt_vb = kvb[..., dh:]
         if anc_onehot is None:
             txt_scores = jnp.einsum(
-                "bkhd,bkhtd->bkht", qb, txt_kb,
+                "bkhd,tbkhd->bkht", qb, txt_kb,
                 preferred_element_type=jnp.float32,
             )
         else:
@@ -422,7 +508,7 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
             # K x more score FLOPs (tiny) for zero cache-permutation HBM
             # traffic
             scores_all = jnp.einsum(
-                "bkhd,bjhtd->bkjht", qb, txt_kb,
+                "bkhd,tbjhd->bkjht", qb, txt_kb,
                 preferred_element_type=jnp.float32,
             )
             txt_scores = jnp.einsum(
@@ -437,7 +523,7 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
         )
         if anc_onehot is None:
             ctx_txt = jnp.einsum(
-                "bkht,bkhtd->bkhd", probs[..., m:], txt_vb,
+                "bkht,tbkhd->bkhd", probs[..., m:], txt_vb,
                 preferred_element_type=xcur.dtype,
             )
         else:
@@ -447,7 +533,7 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
                 anc_onehot.astype(xcur.dtype),
             )
             ctx_txt = jnp.einsum(
-                "bkjht,bjhtd->bkhd", pe, txt_vb,
+                "bkjht,tbjhd->bkhd", pe, txt_vb,
                 preferred_element_type=xcur.dtype,
             )
         ctx = (ctx_mem + ctx_txt).reshape(bk, 1, h * dh)

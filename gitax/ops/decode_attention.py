@@ -1,0 +1,273 @@
+"""Fused decode-step attention Pallas kernel.
+
+One kernel per decoder layer per beam-search step, fusing what XLA runs
+as ~8 separate ops with two pathological costs (measured on v5e from a
+device trace of the GIT_LARGE beam-4 loop):
+
+  * the per-layer KV-cache dynamic_update_slice copies the FULL 9.4 MB
+    text cache every step (~25 us/layer) — XLA's layout assignment puts
+    the time axis into the (sublane, lane) tile to please the attention
+    einsums, and a one-row update of such a buffer cannot alias;
+  * a further ~13 us/layer layout-conversion copy of the same buffer
+    feeds those einsums.
+
+Here the cache lives in HBM untouched (`memory_space=ANY`, aliased
+in/out): each grid cell DMAs its rows to VMEM scratch, writes ONLY the
+new row back (12 KB instead of 9.4 MB of copies), and computes memory
+scores + ancestry-selected text scores + softmax + both context
+contractions on-chip.  Semantics replicate decode_step's XLA path
+exactly (f32 score math, ancestry gather-on-read; see
+models/textual.py) — parity is asserted by tests in interpret mode and
+by token-equality runs on chip.
+
+Mosaic-friendly layout tricks:
+
+  * keys and values are INTERLEAVED per head in the lane axis
+    ([..., h*2Dh + (k: 0..Dh | v: Dh..2Dh)]) for both the text cache
+    and the memory (mem_kv, built once at prefill), and the query
+    arrives zero-extended to the full 2Dh lane pair.  Every score is
+    one [R, 2Dh] x [rows, 2Dh]^T dot per head (v lanes hit zeros),
+    every context is one [R, rows] x [rows, 2Dh] dot whose v half is
+    the answer, and every in-kernel slice is 128-lane aligned — no
+    vector reshapes Mosaic cannot lower.
+  * TPU DMA slices on the sublane axis must be 8-aligned, so each grid
+    cell owns R = lcm(beams, 8) cache rows = `groups` beam groups.
+    Cross-group (row, key) slots are simply masked to -inf before the
+    softmax: the flat liveness mask (computed once per step in XLA)
+    already encodes ancestry selection, and an in-kernel iota mask does
+    the same for the concatenated per-group memories — the probability
+    rows come out exactly as if each group were processed alone.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(
+    pos_ref,  # scalar prefetch: [1] int32 — text position being written
+    qz_ref,  # [1, R, H*2Dh] zero-extended pre-scaled queries
+    kvn_ref,  # [1, R, H*2Dh] new k|v row (pre-interleaved)
+    live_ref,  # [1, R, T*R] int8: 1 iff text slot (t, j) is selected
+    mem_kv_ref,  # [1, G, H, M, 2Dh] interleaved memory k|v per group
+    mem_bias_ref,  # [1, 1, G*M] f32 additive memory bias (group-concat)
+    kv_hbm,  # [T, BK, H*2Dh] in HBM (aliased in/out) — full array
+    ctx_ref,  # out: [1, R, H*2Dh] (v lanes carry the context)
+    kv_out,  # out: alias of kv_hbm
+    kv_scr,  # scratch: [T, R, H*2Dh]
+    row_scr,  # scratch: [1, R, H*2Dh]
+    mem_s_scr,  # scratch: [H, R, G*M] f32 — memory scores staging
+    sems,  # DMA semaphores (2,)
+    *,
+    beams: int,
+    groups: int,
+    num_heads: int,
+    head_dim: int,
+    t_max: int,
+):
+    cell = pl.program_id(0)
+    pos = pos_ref[0]
+    h, dh = num_heads, head_dim
+    r = beams * groups  # rows per cell (8-aligned for DMA)
+    m = mem_kv_ref.shape[3]
+
+    # ---- fetch this cell's cache rows (strided DMA, T chunks) ----
+    read = pltpu.make_async_copy(
+        kv_hbm.at[:, pl.ds(cell * r, r), :], kv_scr, sems.at[0]
+    )
+    read.start()
+
+    live = live_ref[0] != 0  # [R, T*R]
+    mem_bias = mem_bias_ref[0, 0]  # [G*M] f32
+    # memory group mask: row r' (group r'//beams) may only see its own
+    # group's memory columns [gi*M, (gi+1)*M)
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (r, groups * m), 0) // beams
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (r, groups * m), 1) // m
+    mem_ok = row_g == col_g
+
+    # phase 1 (overlaps the cache DMA): memory scores for every head
+    for hi in range(h):
+        lo = hi * 2 * dh
+        qz_h = qz_ref[0][:, lo : lo + 2 * dh]  # [R, 2Dh]
+        mem_kv_h = jnp.concatenate(
+            [mem_kv_ref[0, gi, hi] for gi in range(groups)], axis=0
+        )  # [G*M, 2Dh]
+        mem_s = jax.lax.dot_general(
+            qz_h, mem_kv_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, G*M] (v lanes contribute zero)
+        mem_s_scr[hi] = jnp.where(mem_ok, mem_s + mem_bias[None, :], NEG_INF)
+
+    new_row = kvn_ref[...]  # [1, R, H*2Dh]
+    read.wait()
+    kv_scr[pl.ds(pos, 1), :, :] = new_row
+    row_scr[...] = new_row
+    # write back ONLY the new row (the rest of the buffer is untouched
+    # in HBM — this is the in-place cache update XLA refuses to do)
+    write = pltpu.make_async_copy(
+        row_scr, kv_out.at[pl.ds(pos, 1), pl.ds(cell * r, r), :],
+        sems.at[1],
+    )
+    write.start()
+
+    # phase 2: text scores, joint softmax, both context contractions
+    ctx_parts = []
+    for hi in range(h):
+        lo = hi * 2 * dh
+        qz_h = qz_ref[0][:, lo : lo + 2 * dh]  # [R, 2Dh]
+        mem_s = mem_s_scr[hi]  # [R, G*M]
+        kv_h = kv_scr[:, :, lo : lo + 2 * dh].reshape(
+            t_max * r, 2 * dh
+        )  # collapse leading dims — supported reshape
+        txt_s = jax.lax.dot_general(
+            qz_h, kv_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, T*R]
+        txt_s = jnp.where(live, txt_s, NEG_INF)
+
+        # softmax over [memory ; live text] in f32 (parity with XLA path)
+        row_max = jnp.maximum(
+            jnp.max(mem_s, axis=1, keepdims=True),
+            jnp.max(txt_s, axis=1, keepdims=True),
+        )
+        mem_e = jnp.exp(mem_s - row_max)
+        txt_e = jnp.exp(txt_s - row_max)  # exact zeros at masked slots
+        inv = 1.0 / (
+            jnp.sum(mem_e, axis=1, keepdims=True)
+            + jnp.sum(txt_e, axis=1, keepdims=True)
+        )
+        mem_p = (mem_e * inv).astype(qz_ref.dtype)  # [R, G*M]
+        txt_p = (txt_e * inv).astype(qz_ref.dtype)  # [R, T*R]
+
+        mem_kv_h = jnp.concatenate(
+            [mem_kv_ref[0, gi, hi] for gi in range(groups)], axis=0
+        )
+        ctx_mem = jax.lax.dot_general(
+            mem_p, mem_kv_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, 2Dh] — v half is the memory context
+        ctx_txt = jax.lax.dot_general(
+            txt_p, kv_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, 2Dh] — v half is the text context
+        ctx_parts.append((ctx_mem + ctx_txt).astype(qz_ref.dtype))
+
+    ctx_ref[0] = jnp.concatenate(ctx_parts, axis=1)
+    write.wait()
+
+
+def kernel_supported(batch: int, beams: int) -> bool:
+    """The cache-row DMA needs 8-aligned row blocks: each cell takes
+    lcm(beams, 8)/beams beam groups, so batch must divide evenly."""
+    import math
+
+    g = 8 // math.gcd(beams, 8)
+    return batch % g == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beams", "num_heads", "head_dim", "interpret"),
+)
+def decode_attention(
+    qz,  # [BK, H*2Dh] zero-extended pre-scaled queries
+    kv_new,  # [BK, H*2Dh] pre-interleaved new k|v row
+    txt_kv,  # [T, BK, H*2Dh]
+    anc,  # [BK, T] int32
+    pos,  # [] int32
+    mem_kv,  # [B, H, M, 2Dh] interleaved memory k|v
+    mem_bias,  # [B, M] f32 (zeros when no memory padding)
+    *,
+    beams: int,
+    num_heads: int,
+    head_dim: int,
+    interpret: bool = False,
+):
+    """Fused decode attention; returns (ctx128 [BK, H*2Dh] — context in
+    the v lanes of each head pair — and txt_kv updated in place)."""
+    import math
+
+    t_max, bk, _ = txt_kv.shape
+    b = bk // beams
+    h, dh = num_heads, head_dim
+    m = mem_kv.shape[2]
+    g = 8 // math.gcd(beams, 8)  # beam groups per cell (DMA alignment)
+    assert b % g == 0, (b, beams, g)
+    # widen cells to 16 rows where divisibility and VMEM allow: fewer,
+    # larger dots (16 sublanes = one bf16 tile) and fewer grid cells
+    while (
+        g * beams < 16
+        and b % (2 * g) == 0
+        and 2 * g * h * m * 2 * dh * 2 <= 4 * 1024 * 1024
+    ):
+        g *= 2
+    cells = b // g
+    r = g * beams  # rows per cell
+
+    # flat (t, j) liveness over the CELL's rows: slot t*R + j is live for
+    # row k iff t <= pos and the ancestry selects row j (cell-local index
+    # = group offset + local ancestry).  One tiny XLA fusion per step,
+    # shared by every layer's kernel; cross-group slots are never live.
+    gi = (jnp.arange(bk, dtype=anc.dtype) % r) // beams  # group within cell
+    anc_cell = anc + (gi * beams)[:, None]
+    live = (
+        (anc_cell[:, :, None] == jnp.arange(r, dtype=anc.dtype)[None, None, :])
+        & (jnp.arange(t_max)[None, :, None] <= pos)
+    ).reshape(bk, t_max * r).astype(jnp.int8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos: (i, 0, 0)),
+            pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos: (i, 0, 0)),
+            pl.BlockSpec((1, r, t_max * r), lambda i, pos: (i, 0, 0)),
+            pl.BlockSpec((1, g, h, m, 2 * dh), lambda i, pos: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, g * m), lambda i, pos: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t_max, r, h * 2 * dh), txt_kv.dtype),
+            pltpu.VMEM((1, r, h * 2 * dh), txt_kv.dtype),
+            pltpu.VMEM((h, r, g * m), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel,
+        beams=beams,
+        groups=g,
+        num_heads=num_heads,
+        head_dim=head_dim,
+        t_max=t_max,
+    )
+    ctx, kv_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((cells, r, h * 2 * dh), qz.dtype),
+            jax.ShapeDtypeStruct(txt_kv.shape, txt_kv.dtype),
+        ],
+        input_output_aliases={6: 1},
+        interpret=interpret,
+    )(
+        jnp.asarray(pos, jnp.int32)[None],
+        qz.reshape(cells, r, h * 2 * dh),
+        kv_new.reshape(cells, r, h * 2 * dh),
+        live.reshape(cells, r, t_max * r),
+        mem_kv.reshape(cells, g, h, m, 2 * dh),
+        mem_bias.reshape(cells, 1, g * m),
+        txt_kv,
+    )
+    return ctx.reshape(bk, h * 2 * dh), kv_out

@@ -84,6 +84,7 @@ class CaptionEngine(object):
         use_native: Optional[bool] = None,
         int8: bool = False,
         fast_prefill: Optional[bool] = None,
+        decode_kernel: Optional[bool] = None,
     ):
         self.model = model
         if int8:
@@ -97,6 +98,13 @@ class CaptionEngine(object):
         # (both trade exactness); override with fast_prefill=True when
         # passing pre-quantized params
         self._fast_prefill = bool(int8) if fast_prefill is None else bool(fast_prefill)
+        # fused Pallas decode-step attention (ops/decode_attention.py):
+        # auto-on for real TPU backends, token-exact with the XLA path
+        if decode_kernel is None:
+            from ..ops.flash_attention import use_pallas
+
+            decode_kernel = use_pallas()
+        self._decode_kernel = bool(decode_kernel)
         self.params = params
         self.tokenizer = tokenizer
         self.transform = transform
@@ -151,6 +159,7 @@ class CaptionEngine(object):
                 return model.generate(
                     params, images, prefix, beam=beam, dtype=dtype,
                     fast_prefill=self._fast_prefill,
+                    decode_kernel=self._decode_kernel,
                 )
 
             self._jitted[key] = fn

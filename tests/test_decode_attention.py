@@ -1,0 +1,113 @@
+"""Fused decode-attention Pallas kernel (ops/decode_attention.py) vs the
+XLA decode path — interpret mode (CPU).  On-chip token-equality is
+exercised by the bench/verify drive (the kernel only compiles for real
+TPU backends)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gitax.decode import BeamSearchConfig
+from gitax.models import GitModel, GitConfig, ViTConfig
+from gitax.ops.decode_attention import decode_attention, kernel_supported
+
+
+def _xla_reference(q, kn, vn, kv, anc, pos, mem_k, mem_v, mem_bias, B, K, H, Dh, M, T):
+    dt = q.dtype
+    kvn = jnp.concatenate([kn, vn], -1).reshape(B * K, H * 2 * Dh)
+    kv_upd = kv.at[pos].set(kvn)
+    kvb = kv_upd.reshape(T, B, K, H, 2 * Dh)
+    tk, tv = kvb[..., :Dh], kvb[..., Dh:]
+    qb = q.reshape(B, K, H, Dh)
+    mem_s = jnp.einsum("bkhd,bhmd->bkhm", qb, mem_k,
+                       preferred_element_type=jnp.float32)
+    mem_s = mem_s + mem_bias[:, None, None, :]
+    anc_oh = jax.nn.one_hot(anc.reshape(B, K, T), K, dtype=jnp.float32)
+    sc = jnp.einsum("bkhd,tbjhd->bkjht", qb, tk,
+                    preferred_element_type=jnp.float32)
+    txt_s = jnp.einsum("bkjht,bktj->bkht", sc, anc_oh)
+    txt_s = txt_s + jnp.where(jnp.arange(T) <= pos, 0.0, -1e30)
+    probs = jax.nn.softmax(jnp.concatenate([mem_s, txt_s], -1), -1).astype(dt)
+    ctx_m = jnp.einsum("bkhm,bhmd->bkhd", probs[..., :M], mem_v,
+                       preferred_element_type=dt)
+    pe = jnp.einsum("bkht,bktj->bkjht", probs[..., M:], anc_oh.astype(dt))
+    ctx_t = jnp.einsum("bkjht,tbjhd->bkhd", pe, tv, preferred_element_type=dt)
+    return (ctx_m + ctx_t).reshape(B * K, H * Dh), kv_upd
+
+
+@pytest.mark.parametrize("B,K", [(4, 4), (4, 2), (8, 1), (2, 8)])
+def test_kernel_matches_xla_formulation(B, K):
+    H, Dh, M, T = 2, 64, 17, 9
+    BK = B * K
+    rng = np.random.RandomState(B * 10 + K)
+    dt = jnp.float32
+    q = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
+    kn = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
+    vn = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
+    pos = 5
+    kv = jnp.asarray(rng.randn(T, BK, H * 2 * Dh), dt) * 0.3
+    anc = jnp.asarray(rng.randint(0, K, (BK, T)), jnp.int32)
+    mem_k = jnp.asarray(rng.randn(B, H, M, Dh), dt) * 0.3
+    mem_v = jnp.asarray(rng.randn(B, H, M, Dh), dt) * 0.3
+    mem_bias = jnp.asarray(rng.randn(B, M), jnp.float32)
+
+    qz = jnp.concatenate([q, jnp.zeros_like(q)], -1).reshape(BK, H * 2 * Dh)
+    kvn = jnp.concatenate([kn, vn], -1).reshape(BK, H * 2 * Dh)
+    mem_kv = jnp.concatenate([mem_k, mem_v], -1)
+
+    ctx128, kv_new = decode_attention(
+        qz, kvn, kv, anc, pos, mem_kv, mem_bias,
+        beams=K, num_heads=H, head_dim=Dh, interpret=True,
+    )
+    ctx = ctx128.reshape(BK, H, 2 * Dh)[..., Dh:].reshape(BK, H * Dh)
+    ctx_ref, kv_ref = _xla_reference(
+        q, kn, vn, kv, anc, pos, mem_k, mem_v, mem_bias, B, K, H, Dh, M, T
+    )
+    np.testing.assert_allclose(
+        np.asarray(ctx), np.asarray(ctx_ref), atol=3e-6, rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(kv_new), np.asarray(kv_ref))
+
+
+def test_kernel_supported_alignment():
+    assert kernel_supported(32, 4)   # g=2, 32 % 2 == 0
+    assert kernel_supported(8, 1)    # g=8
+    assert not kernel_supported(4, 1)
+    assert kernel_supported(2, 8)    # g=1
+    assert not kernel_supported(3, 4)
+
+
+def test_generate_with_kernel_interpret_token_equal():
+    """Whole beam search with the fused kernel (interpret) emits the
+    exact tokens of the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    tok_cfg = GitConfig(
+        encoder=ViTConfig(16, 32, 1, 2, 32),
+        visual_feature_size=32,
+        vocab_size=64,
+        hidden_size=32,
+        num_layers=2,
+        num_heads=2,
+        feedforward_size=64,
+        max_caption_length=32,
+    )
+    model = GitModel(tok_cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params["textual"]["embedding"]["words"] = (
+        params["textual"]["embedding"]["words"] * 20.0
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    beam = BeamSearchConfig(num_beams=4, max_steps=10, eos_id=2)
+    seqs_xla, lp_xla = model.generate(params, img, beam=beam, sos_id=1)
+    with pltpu.force_tpu_interpret_mode():
+        seqs_ker, lp_ker = model.generate(
+            params, img, beam=beam, sos_id=1, decode_kernel=True
+        )
+    np.testing.assert_array_equal(np.asarray(seqs_xla), np.asarray(seqs_ker))
+    np.testing.assert_allclose(
+        np.asarray(lp_xla), np.asarray(lp_ker), atol=1e-5, rtol=1e-5
+    )

@@ -222,6 +222,13 @@ class GitModel(object):
         (decoder.py:1288-1289).  num_return_sequences>1 replicates each
         input R times on the batch axis (decoder.py:1093-1096) — outputs
         stay flat [B*R, ...].
+
+        decode_kernel: False | True | 'int8' — route the beam loop's
+        per-layer attention through the fused Pallas kernel
+        (ops/decode_attention.py; TPU only).  True is token-exact with
+        the XLA path; 'int8' additionally stores the prefill-computed
+        memory K/V int8 (the decode loop's dominant HBM stream),
+        quantization-noise-level differences only.
         """
         from ..decode import BeamSearchConfig, beam_search, greedy_search
 

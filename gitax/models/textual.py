@@ -280,8 +280,12 @@ class KVCache(NamedTuple):
     anc: Optional[jax.Array] = None
     # L-tuple of [B, H, M, 2Dh] — memory k|v interleaved per head, the
     # layout the fused decode kernel consumes (ops/decode_attention.py).
-    # Built at prefill when kernel_memory=True; None otherwise.
+    # Built at prefill when kernel_memory is truthy; None otherwise.
+    # kernel_memory='int8' stores int8 values with per-(batch, head)
+    # k|v scales in mem_scale (halves the decode loop's dominant HBM
+    # stream — the memory is re-read every step).
     mem_kv: Optional[tuple] = None
+    mem_scale: Optional[tuple] = None
 
     @property
     def max_text_len(self):
@@ -352,7 +356,16 @@ def prefill(
         )
         outs = (k[:, :, :m], v[:, :, :m], txt_kv)
         if kernel_memory:
-            outs = outs + (jnp.concatenate([k[:, :, :m], v[:, :, :m]], axis=-1),)
+            kv_mem = jnp.concatenate([k[:, :, :m], v[:, :, :m]], axis=-1)
+            if kernel_memory == "int8":
+                # quantize the decode loop's dominant HBM stream once at
+                # prefill (per-(batch, head) k|v scales; see
+                # ops/decode_attention.py)
+                from ..ops.decode_attention import quantize_memory
+
+                outs = outs + quantize_memory(kv_mem)
+            else:
+                outs = outs + (kv_mem,)
         return xnew, outs
 
     x, scanned = jax.lax.scan(scan_fn, x, params["blocks"])
@@ -370,6 +383,9 @@ def prefill(
         mem_kv=tuple(scanned[3][i] for i in range(n_layers))
         if kernel_memory
         else None,
+        mem_scale=tuple(scanned[4][i] for i in range(n_layers))
+        if kernel_memory == "int8"
+        else None,
     )
     return logits, cache
 
@@ -381,7 +397,10 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     kernel=True routes the per-layer attention (cache write + memory and
     ancestry-selected text scores + softmax + context) through the fused
     Pallas kernel (ops/decode_attention.py) — TPU only, requires an
-    ancestry table (beam search sets one).  Bit-exact with the XLA path.
+    ancestry table (beam search sets one).  Bit-exact with the XLA path
+    when the cache's memory K/V are full precision; with
+    prefill(kernel_memory='int8') the memory stream is int8-quantized
+    (differences at quantization-noise level only).
 
     Memory K/V are stored ONCE per batch element ([B, H, M, Dh] per
     layer) while text K/V carry the full beam axis ([B*beams, H, T, Dh]
@@ -442,7 +461,7 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
         else:
             kernel_bias = jnp.zeros((b, m), jnp.float32)
 
-        def layer(xcur, bp, mem_kv, txt_kv):
+        def layer(xcur, bp, mem_kv, mem_scale, txt_kv):
             q, k_new, v_new = qkv_project(xcur, bp["attn"], cfg.num_heads)
             qs = q[:, :, 0] * scale  # [BK, H, Dh]
             qz = jnp.concatenate([qs, jnp.zeros_like(qs)], axis=-1)
@@ -455,6 +474,7 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
                 pos,
                 mem_kv,
                 kernel_bias,
+                mem_scale,
                 beams=beams,
                 num_heads=h,
                 head_dim=dh,
@@ -476,7 +496,11 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
         x_cur = x
         for li in range(n):
             bp = jax.tree_util.tree_map(lambda a: a[li], params["blocks"])
-            x_cur, tkv = layer(x_cur, bp, cache.mem_kv[li], cache.txt_kv[li])
+            x_cur, tkv = layer(
+                x_cur, bp, cache.mem_kv[li],
+                cache.mem_scale[li] if cache.mem_scale is not None else None,
+                cache.txt_kv[li],
+            )
             new_txt_kv.append(tkv)
         logits = output_logits(params, x_cur[:, 0])
         new_cache = cache._replace(txt_kv=tuple(new_txt_kv), length=pos + 1)

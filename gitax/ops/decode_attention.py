@@ -20,6 +20,20 @@ exactly (f32 score math, ancestry gather-on-read; see
 models/textual.py) — parity is asserted by tests in interpret mode and
 by token-equality runs on chip.
 
+Bandwidth notes (v5e trace, GIT_LARGE beam-4 B=32): the decode loop's
+dominant HBM stream is the MEMORY K/V — 25 MB/layer re-read every step
+(6 layers = 152 MB/step), dwarfing the 9.4 MB text cache.  Two
+mitigations live here:
+
+  * `mem_kv` may arrive INT8 with per-(batch, head, k|v) scales
+    (quantized once at prefill; see textual.prefill(kernel_memory=
+    'int8')) — halves the dominant stream.  MEASURED NEGATIVE on v5e
+    (512 -> 503 img/s even with dequant-once-per-head): the in-kernel
+    int8->bf16 convert+scale costs more than the DMA it saves at this
+    chip's bandwidth/VPU ratio, so the mode is opt-in for
+    bandwidth-poorer parts, not a default.  (Token output matched the
+    bf16-memory path exactly in the on-chip run.)
+
 Mosaic-friendly layout tricks:
 
   * keys and values are INTERLEAVED per head in the lane axis
@@ -31,12 +45,15 @@ Mosaic-friendly layout tricks:
     the answer, and every in-kernel slice is 128-lane aligned — no
     vector reshapes Mosaic cannot lower.
   * TPU DMA slices on the sublane axis must be 8-aligned, so each grid
-    cell owns R = lcm(beams, 8) cache rows = `groups` beam groups.
-    Cross-group (row, key) slots are simply masked to -inf before the
-    softmax: the flat liveness mask (computed once per step in XLA)
-    already encodes ancestry selection, and an in-kernel iota mask does
-    the same for the concatenated per-group memories — the probability
-    rows come out exactly as if each group were processed alone.
+    cell owns R = lcm(beams, 8) cache rows = `groups` beam groups,
+    widened up to 32 rows when the VMEM budget allows (fewer, larger
+    cells amortize DMA latency — the loop is latency-bound, ~77 us per
+    invocation at 8 cells).  Cross-group (row, key) slots are simply
+    masked to -inf before the softmax: the flat liveness mask (computed
+    once per step in XLA) already encodes ancestry selection, and an
+    in-kernel iota mask does the same for the concatenated per-group
+    memories — the probability rows come out exactly as if each group
+    were processed alone.
 """
 
 from __future__ import annotations
@@ -50,9 +67,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# VMEM budget for the per-cell working set (blocks are double-buffered
+# by the pipeline; total VMEM is ~16 MB/core)
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _cell_vmem_bytes(g, beams, h, dh, m, t_max, mem_itemsize, act_itemsize):
+    r = g * beams
+    lanes = h * 2 * dh
+    mem_block = g * h * m * 2 * dh * mem_itemsize
+    qkl_blocks = r * lanes * act_itemsize * 3  # qz, kvn, ctx
+    live_block = r * t_max * r  # int8
+    kv_scr = t_max * r * lanes * act_itemsize
+    mem_s_scr = h * r * g * m * 4
+    # input/output blocks are double-buffered across grid cells
+    return 2 * (mem_block + qkl_blocks + live_block) + kv_scr + mem_s_scr
+
 
 def _kernel(
     pos_ref,  # scalar prefetch: [1] int32 — text position being written
+    mem_scale_ref,  # scalar prefetch: [B*H*2] f32 (ones when mem is bf16)
     qz_ref,  # [1, R, H*2Dh] zero-extended pre-scaled queries
     kvn_ref,  # [1, R, H*2Dh] new k|v row (pre-interleaved)
     live_ref,  # [1, R, T*R] int8: 1 iff text slot (t, j) is selected
@@ -71,6 +105,7 @@ def _kernel(
     num_heads: int,
     head_dim: int,
     t_max: int,
+    mem_int8: bool,
 ):
     cell = pl.program_id(0)
     pos = pos_ref[0]
@@ -92,18 +127,37 @@ def _kernel(
     col_g = jax.lax.broadcasted_iota(jnp.int32, (r, groups * m), 1) // m
     mem_ok = row_g == col_g
 
-    # phase 1 (overlaps the cache DMA): memory scores for every head
-    for hi in range(h):
-        lo = hi * 2 * dh
-        qz_h = qz_ref[0][:, lo : lo + 2 * dh]  # [R, 2Dh]
-        mem_kv_h = jnp.concatenate(
-            [mem_kv_ref[0, gi, hi] for gi in range(groups)], axis=0
-        )  # [G*M, 2Dh]
-        mem_s = jax.lax.dot_general(
-            qz_h, mem_kv_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [R, G*M] (v lanes contribute zero)
-        mem_s_scr[hi] = jnp.where(mem_ok, mem_s + mem_bias[None, :], NEG_INF)
+    dt = qz_ref.dtype
+    kv_lane = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * dh), 1) < dh
+
+    def mem_head(hi):
+        """[G*M, 2Dh] dequantized memory k|v for head hi."""
+        parts = []
+        for gi in range(groups):
+            x = mem_kv_ref[0, gi, hi]
+            if mem_int8:
+                # per-(batch, head) k|v scales from SMEM; k lanes get
+                # s_k, v lanes s_v via a lane-split select
+                base = (cell * groups + gi) * h * 2 + hi * 2
+                sk = mem_scale_ref[base]
+                sv = mem_scale_ref[base + 1]
+                scl = jnp.where(kv_lane, sk, sv).astype(dt)
+                x = x.astype(dt) * scl
+            parts.append(x)
+        return jnp.concatenate(parts, axis=0)
+
+    if not mem_int8:
+        # phase 1 (overlaps the cache DMA): memory scores for every head
+        for hi in range(h):
+            lo = hi * 2 * dh
+            qz_h = qz_ref[0][:, lo : lo + 2 * dh]  # [R, 2Dh]
+            mem_s = jax.lax.dot_general(
+                qz_h, mem_head(hi), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [R, G*M] (v lanes contribute zero)
+            mem_s_scr[hi] = jnp.where(
+                mem_ok, mem_s + mem_bias[None, :], NEG_INF
+            )
 
     new_row = kvn_ref[...]  # [1, R, H*2Dh]
     read.wait()
@@ -117,12 +171,24 @@ def _kernel(
     )
     write.start()
 
-    # phase 2: text scores, joint softmax, both context contractions
+    # phase 2: text scores, joint softmax, both context contractions.
+    # In the int8-memory mode the memory scores also live here so each
+    # head's dequantized block is built ONCE and feeds both dots
+    # (dequantizing per use measurably costs more than the DMA saved).
     ctx_parts = []
     for hi in range(h):
         lo = hi * 2 * dh
         qz_h = qz_ref[0][:, lo : lo + 2 * dh]  # [R, 2Dh]
-        mem_s = mem_s_scr[hi]  # [R, G*M]
+        if mem_int8:
+            mem_h = mem_head(hi)
+            mem_s = jax.lax.dot_general(
+                qz_h, mem_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mem_s = jnp.where(mem_ok, mem_s + mem_bias[None, :], NEG_INF)
+        else:
+            mem_h = mem_head(hi)
+            mem_s = mem_s_scr[hi]  # [R, G*M]
         kv_h = kv_scr[:, :, lo : lo + 2 * dh].reshape(
             t_max * r, 2 * dh
         )  # collapse leading dims — supported reshape
@@ -143,21 +209,18 @@ def _kernel(
             jnp.sum(mem_e, axis=1, keepdims=True)
             + jnp.sum(txt_e, axis=1, keepdims=True)
         )
-        mem_p = (mem_e * inv).astype(qz_ref.dtype)  # [R, G*M]
-        txt_p = (txt_e * inv).astype(qz_ref.dtype)  # [R, T*R]
+        mem_p = (mem_e * inv).astype(dt)  # [R, G*M]
+        txt_p = (txt_e * inv).astype(dt)  # [R, T*R]
 
-        mem_kv_h = jnp.concatenate(
-            [mem_kv_ref[0, gi, hi] for gi in range(groups)], axis=0
-        )
         ctx_mem = jax.lax.dot_general(
-            mem_p, mem_kv_h, (((1,), (0,)), ((), ())),
+            mem_p, mem_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R, 2Dh] — v half is the memory context
         ctx_txt = jax.lax.dot_general(
             txt_p, kv_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R, 2Dh] — v half is the text context
-        ctx_parts.append((ctx_mem + ctx_txt).astype(qz_ref.dtype))
+        ctx_parts.append((ctx_mem + ctx_txt).astype(dt))
 
     ctx_ref[0] = jnp.concatenate(ctx_parts, axis=1)
     write.wait()
@@ -182,8 +245,9 @@ def decode_attention(
     txt_kv,  # [T, BK, H*2Dh]
     anc,  # [BK, T] int32
     pos,  # [] int32
-    mem_kv,  # [B, H, M, 2Dh] interleaved memory k|v
+    mem_kv,  # [B, H, M, 2Dh] interleaved memory k|v (bf16/f32 or int8)
     mem_bias,  # [B, M] f32 (zeros when no memory padding)
+    mem_scale=None,  # [B, H, 2] f32 per-(batch, head) k|v scales (int8)
     *,
     beams: int,
     num_heads: int,
@@ -198,14 +262,19 @@ def decode_attention(
     b = bk // beams
     h, dh = num_heads, head_dim
     m = mem_kv.shape[2]
+    mem_int8 = mem_kv.dtype == jnp.int8
+    assert not mem_int8 or mem_scale is not None
     g = 8 // math.gcd(beams, 8)  # beam groups per cell (DMA alignment)
     assert b % g == 0, (b, beams, g)
-    # widen cells to 16 rows where divisibility and VMEM allow: fewer,
-    # larger dots (16 sublanes = one bf16 tile) and fewer grid cells
+    # widen cells (up to 32 rows) where divisibility and the VMEM budget
+    # allow: fewer, larger cells amortize per-cell DMA latency
+    mem_isz = 1 if mem_int8 else mem_kv.dtype.itemsize
+    act_isz = qz.dtype.itemsize
     while (
-        g * beams < 16
+        g * beams < 32
         and b % (2 * g) == 0
-        and 2 * g * h * m * 2 * dh * 2 <= 4 * 1024 * 1024
+        and _cell_vmem_bytes(2 * g, beams, h, dh, m, t_max, mem_isz, act_isz)
+        <= _VMEM_BUDGET
     ):
         g *= 2
     cells = b // g
@@ -222,19 +291,26 @@ def decode_attention(
         & (jnp.arange(t_max)[None, :, None] <= pos)
     ).reshape(bk, t_max * r).astype(jnp.int8)
 
+    if mem_scale is None:
+        scale_flat = jnp.ones((b * h * 2,), jnp.float32)
+    else:
+        scale_flat = mem_scale.astype(jnp.float32).reshape(b * h * 2)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(cells,),
         in_specs=[
-            pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos: (i, 0, 0)),
-            pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos: (i, 0, 0)),
-            pl.BlockSpec((1, r, t_max * r), lambda i, pos: (i, 0, 0)),
-            pl.BlockSpec((1, g, h, m, 2 * dh), lambda i, pos: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 1, g * m), lambda i, pos: (i, 0, 0)),
+            pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos, scl: (i, 0, 0)),
+            pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos, scl: (i, 0, 0)),
+            pl.BlockSpec((1, r, t_max * r), lambda i, pos, scl: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, g, h, m, 2 * dh), lambda i, pos, scl: (i, 0, 0, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, g * m), lambda i, pos, scl: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos: (i, 0, 0)),
+            pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos, scl: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
@@ -251,6 +327,7 @@ def decode_attention(
         num_heads=num_heads,
         head_dim=head_dim,
         t_max=t_max,
+        mem_int8=mem_int8,
     )
     ctx, kv_out = pl.pallas_call(
         kernel,
@@ -259,10 +336,11 @@ def decode_attention(
             jax.ShapeDtypeStruct((cells, r, h * 2 * dh), qz.dtype),
             jax.ShapeDtypeStruct(txt_kv.shape, txt_kv.dtype),
         ],
-        input_output_aliases={6: 1},
+        input_output_aliases={7: 1},
         interpret=interpret,
     )(
         jnp.asarray(pos, jnp.int32)[None],
+        scale_flat,
         qz.reshape(cells, r, h * 2 * dh),
         kv_new.reshape(cells, r, h * 2 * dh),
         live.reshape(cells, r, t_max * r),
@@ -271,3 +349,17 @@ def decode_attention(
         txt_kv,
     )
     return ctx.reshape(bk, h * 2 * dh), kv_out
+
+
+def quantize_memory(mem_kv):
+    """[B, H, M, 2Dh] float memory k|v -> (int8 values, [B, H, 2] f32
+    per-(batch, head) scales for the k and v halves)."""
+    dh = mem_kv.shape[-1] // 2
+    x = mem_kv.astype(jnp.float32)
+    k, v = x[..., :dh], x[..., dh:]
+    sk = jnp.maximum(jnp.max(jnp.abs(k), axis=(2, 3)), 1e-12) / 127.0
+    sv = jnp.maximum(jnp.max(jnp.abs(v), axis=(2, 3)), 1e-12) / 127.0
+    qk = jnp.clip(jnp.round(k / sk[:, :, None, None]), -127, 127)
+    qv = jnp.clip(jnp.round(v / sv[:, :, None, None]), -127, 127)
+    q = jnp.concatenate([qk, qv], axis=-1).astype(jnp.int8)
+    return q, jnp.stack([sk, sv], axis=-1)

@@ -99,12 +99,16 @@ class CaptionEngine(object):
         # passing pre-quantized params
         self._fast_prefill = bool(int8) if fast_prefill is None else bool(fast_prefill)
         # fused Pallas decode-step attention (ops/decode_attention.py):
-        # auto-on for real TPU backends, token-exact with the XLA path
+        # auto-on for real TPU backends, token-exact with the XLA path.
+        # (decode_kernel='int8' additionally quantizes the prefill
+        # memory K/V — measured NEGATIVE on v5e, the in-kernel
+        # dequantize costs more than the halved DMA; available for
+        # bandwidth-poorer parts.)
         if decode_kernel is None:
             from ..ops.flash_attention import use_pallas
 
             decode_kernel = use_pallas()
-        self._decode_kernel = bool(decode_kernel)
+        self._decode_kernel = decode_kernel
         self.params = params
         self.tokenizer = tokenizer
         self.transform = transform

@@ -111,3 +111,88 @@ def test_generate_with_kernel_interpret_token_equal():
     np.testing.assert_allclose(
         np.asarray(lp_xla), np.asarray(lp_ker), atol=1e-5, rtol=1e-5
     )
+
+
+def test_kernel_int8_memory_matches_dequantized_reference():
+    """int8 memory path == the XLA formulation run on the DEQUANTIZED
+    memory (the quantization is the only approximation)."""
+    from gitax.ops.decode_attention import quantize_memory
+
+    B, K = 4, 4
+    H, Dh, M, T = 2, 64, 17, 9
+    BK = B * K
+    rng = np.random.RandomState(7)
+    dt = jnp.float32
+    q = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
+    kn = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
+    vn = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
+    pos = 5
+    kv = jnp.asarray(rng.randn(T, BK, H * 2 * Dh), dt) * 0.3
+    anc = jnp.asarray(rng.randint(0, K, (BK, T)), jnp.int32)
+    mem_k = jnp.asarray(rng.randn(B, H, M, Dh), dt) * 0.3
+    mem_v = jnp.asarray(rng.randn(B, H, M, Dh), dt) * 0.3
+    mem_bias = jnp.asarray(rng.randn(B, M), jnp.float32)
+
+    qz = jnp.concatenate([q, jnp.zeros_like(q)], -1).reshape(BK, H * 2 * Dh)
+    kvn = jnp.concatenate([kn, vn], -1).reshape(BK, H * 2 * Dh)
+    mem_kv = jnp.concatenate([mem_k, mem_v], -1)
+    mem_q8, mem_scale = quantize_memory(mem_kv)
+
+    ctx128, kv_new = decode_attention(
+        qz, kvn, kv, anc, pos, mem_q8, mem_bias, mem_scale,
+        beams=K, num_heads=H, head_dim=Dh, interpret=True,
+    )
+    ctx = ctx128.reshape(BK, H, 2 * Dh)[..., Dh:].reshape(BK, H * Dh)
+
+    # dequantized reference
+    scl = jnp.concatenate(
+        [jnp.repeat(mem_scale[..., :1], Dh, -1),
+         jnp.repeat(mem_scale[..., 1:], Dh, -1)], -1
+    )  # [B, H, 2Dh]
+    deq = mem_q8.astype(jnp.float32) * scl[:, :, None, :]
+    ctx_ref, kv_ref = _xla_reference(
+        q, kn, vn, kv, anc, pos, deq[..., :Dh], deq[..., Dh:],
+        mem_bias, B, K, H, Dh, M, T,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ctx), np.asarray(ctx_ref), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(kv_new), np.asarray(kv_ref))
+    # and the quantization error itself is small
+    np.testing.assert_allclose(
+        np.asarray(deq), np.asarray(mem_kv), atol=2 * float(mem_scale.max())
+    )
+
+
+def test_generate_int8_kernel_close_to_xla():
+    """generate(decode_kernel='int8') emits finite scores and (at these
+    scales) the same tokens as the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = GitConfig(
+        encoder=ViTConfig(16, 32, 1, 2, 32),
+        visual_feature_size=32,
+        vocab_size=64,
+        hidden_size=32,
+        num_layers=2,
+        num_heads=2,
+        feedforward_size=64,
+        max_caption_length=32,
+    )
+    model = GitModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params["textual"]["embedding"]["words"] = (
+        params["textual"]["embedding"]["words"] * 20.0
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    beam = BeamSearchConfig(num_beams=4, max_steps=10, eos_id=2)
+    seqs_xla, lp_xla = model.generate(params, img, beam=beam, sos_id=1)
+    with pltpu.force_tpu_interpret_mode():
+        seqs_ker, lp_ker = model.generate(
+            params, img, beam=beam, sos_id=1, decode_kernel="int8"
+        )
+    np.testing.assert_array_equal(np.asarray(seqs_xla), np.asarray(seqs_ker))
+    np.testing.assert_allclose(
+        np.asarray(lp_xla), np.asarray(lp_ker), atol=5e-3, rtol=5e-3
+    )

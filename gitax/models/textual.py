@@ -189,16 +189,26 @@ def build_unified_mask(
     return mask[:, None, :, :]
 
 
+def _attn_tail(xcur, ctx_merged, bp, cfg: GitConfig):
+    """Shared post-attention block: out-projection + residual post-norm
+    + MLP + residual post-norm (modeling_bert.py:269-297).  ONE home for
+    this sequence — the full forward, prefill, and both decode-step
+    paths (XLA and Pallas kernel) all route through it, so the paths
+    cannot drift apart structurally."""
+    attn_out = linear(ctx_merged, bp["attn"]["out"])
+    x = layer_norm(attn_out + xcur, bp["attn_ln"], cfg.bert_ln_eps)
+    inter = gelu_erf(linear(x, bp["mlp"]["intermediate"]))
+    return layer_norm(
+        linear(inter, bp["mlp"]["output"]) + x, bp["mlp_ln"], cfg.bert_ln_eps
+    )
+
+
 def _bert_layer(x, bp, cfg: GitConfig, mask, fast=False):
     """Post-norm BERT layer (modeling_bert.py:269-297)."""
     q, k, v = qkv_project(x, bp["attn"], cfg.num_heads)
     probs = attention_weights(q, k, mask, fast=fast).astype(v.dtype)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
-    attn_out = linear(merge_heads(ctx), bp["attn"]["out"])
-    x = layer_norm(attn_out + x, bp["attn_ln"], cfg.bert_ln_eps)
-    inter = gelu_erf(linear(x, bp["mlp"]["intermediate"]))
-    x = layer_norm(linear(inter, bp["mlp"]["output"]) + x, bp["mlp_ln"], cfg.bert_ln_eps)
-    return x
+    return _attn_tail(x, merge_heads(ctx), bp, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -342,12 +352,7 @@ def prefill(
         q, k, v = qkv_project(xcur, bp["attn"], cfg.num_heads)
         probs = attention_weights(q, k, mask, fast=fast).astype(v.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
-        attn_out = linear(merge_heads(ctx), bp["attn"]["out"])
-        xnew = layer_norm(attn_out + xcur, bp["attn_ln"], cfg.bert_ln_eps)
-        inter = gelu_erf(linear(xnew, bp["mlp"]["intermediate"]))
-        xnew = layer_norm(
-            linear(inter, bp["mlp"]["output"]) + xnew, bp["mlp_ln"], cfg.bert_ln_eps
-        )
+        xnew = _attn_tail(xcur, merge_heads(ctx), bp, cfg)
         # time-major text cache (see KVCache docstring): [T_max, B, H*2Dh]
         tkv = jnp.concatenate([k[:, :, m:], v[:, :, m:]], axis=-1).transpose(
             2, 0, 1, 3
@@ -399,10 +404,13 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     kernel=True routes the per-layer attention (cache write + memory and
     ancestry-selected text scores + softmax + context) through the fused
     Pallas kernel (ops/decode_attention.py) — TPU only, requires an
-    ancestry table (beam search sets one).  Bit-exact with the XLA path
-    when the cache's memory K/V are full precision; with
-    prefill(kernel_memory='int8') the memory stream is int8-quantized
-    (differences at quantization-noise level only).
+    ancestry table (beam search sets one).  Score math is f32 in both
+    paths; in f32 activations the kernel is bit-exact with the XLA path,
+    in bf16 the context accumulates in f32 in-kernel vs per-contraction
+    bf16 rounding in XLA — low-bit context differences that measured
+    token-identical on chip but are not guaranteed bit-wise.  With
+    prefill(kernel_memory='int8') the memory stream is additionally
+    int8-quantized (quantization-noise-level differences).
 
     Memory K/V are stored ONCE per batch element ([B, H, M, Dh] per
     layer) while text K/V carry the full beam axis ([B*beams, H, T, Dh]
@@ -490,14 +498,7 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
             ctx = ctx128.reshape(bk, h, 2 * dh)[..., dh:].reshape(
                 bk, 1, h * dh
             )
-            attn_out = linear(ctx, bp["attn"]["out"])
-            xnew = layer_norm(attn_out + xcur, bp["attn_ln"], cfg.bert_ln_eps)
-            inter = gelu_erf(linear(xnew, bp["mlp"]["intermediate"]))
-            xnew = layer_norm(
-                linear(inter, bp["mlp"]["output"]) + xnew,
-                bp["mlp_ln"], cfg.bert_ln_eps,
-            )
-            return xnew, txt_kv
+            return _attn_tail(xcur, ctx, bp, cfg), txt_kv
 
         n = cache.num_layers
         new_txt_kv = []
@@ -569,13 +570,7 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
                 preferred_element_type=xcur.dtype,
             )
         ctx = (ctx_mem + ctx_txt).reshape(bk, 1, h * dh)
-        attn_out = linear(ctx, bp["attn"]["out"])
-        xnew = layer_norm(attn_out + xcur, bp["attn_ln"], cfg.bert_ln_eps)
-        inter = gelu_erf(linear(xnew, bp["mlp"]["intermediate"]))
-        xnew = layer_norm(
-            linear(inter, bp["mlp"]["output"]) + xnew, bp["mlp_ln"], cfg.bert_ln_eps
-        )
-        return xnew, txt_kv
+        return _attn_tail(xcur, ctx, bp, cfg), txt_kv
 
     n = cache.num_layers
     new_txt_kv = []

@@ -16,9 +16,11 @@ in/out): each grid cell DMAs its rows to VMEM scratch, writes ONLY the
 new row back (12 KB instead of 9.4 MB of copies), and computes memory
 scores + ancestry-selected text scores + softmax + both context
 contractions on-chip.  Semantics replicate decode_step's XLA path
-exactly (f32 score math, ancestry gather-on-read; see
-models/textual.py) — parity is asserted by tests in interpret mode and
-by token-equality runs on chip.
+(f32 score math, ancestry gather-on-read; see models/textual.py) —
+bit-exact in f32; in bf16 the two context contractions accumulate in
+f32 here vs per-contraction bf16 rounding in XLA (token-identical in
+on-chip runs, not guaranteed bit-wise).  Parity is asserted by tests in
+interpret mode and by token-equality runs on chip.
 
 Bandwidth notes (v5e trace, GIT_LARGE beam-4 B=32): the decode loop's
 dominant HBM stream is the MEMORY K/V — 25 MB/layer re-read every step

@@ -82,7 +82,9 @@ def make_train_step(model: GitModel, tx: Optional[optax.GradientTransformation] 
             context_tokens=batch.get("context_tokens"),
             context_lengths=batch.get("context_lengths"),
             dtype=dtype,
-            fast=fast_softmax,
+            # None (not False) when unset: the encoder keeps honoring a
+            # cfg.encoder.fast_softmax=True model config
+            fast=True if fast_softmax else None,
         )
 
     if remat:

@@ -48,21 +48,38 @@ def test_bf16_path():
     )
 
 
+def test_qkv_entry_matches_classic(t=37):
+    """flash_qkv_attention (token-major packed entry) == attention_xla
+    on the same fused qkv tensor."""
+    from gitax.ops.flash_attention import flash_qkv_attention
+
+    b, h, d = 2, 3, 192
+    dh = d // h
+    rng = np.random.RandomState(5)
+    qkv = jnp.asarray(rng.randn(b, t, 3 * d), jnp.float32) * 0.5
+    y = qkv.reshape(b, t, 3, h, dh)
+    q, k, v = (y[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    ref = attention_xla(q, k, v)  # [B,H,T,Dh]
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, t, d)
+    out = flash_qkv_attention(qkv, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_vit_forward_flash_flag_matches():
-    """vit_forward(flash=True via interpret) == flash=False."""
+    """vit_forward(flash=True via interpret) == flash=False (the flash
+    branch routes through flash_qkv_attention)."""
     from gitax.models.config import ViTConfig
     from gitax.models.vit import init_vit_params, vit_forward
     import gitax.ops.flash_attention as fa
+    import gitax.models.nn as nnmod
 
     cfg = ViTConfig(16, 64, 2, 2, 32)
     params = init_vit_params(jax.random.PRNGKey(0), cfg)
     img = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3), jnp.float32)
     ref = vit_forward(params, img, cfg, flash=False)
 
-    orig = fa.fused_attention
-    try:
-        fa.fused_attention = lambda q, k, v, **kw: orig(q, k, v, interpret=True, **kw)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
         out = vit_forward(params, img, cfg, flash=True)
-    finally:
-        fa.fused_attention = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

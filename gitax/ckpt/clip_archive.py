@@ -91,7 +91,18 @@ def load_clip_archive(name_or_path, roots=DEFAULT_ROOTS, verify="strict"):
 
     path, pin = resolve_archive(name_or_path, roots)
     verified = False
-    if verify and pin is not None:
+    if verify and pin is None:
+        # no published pin matches this file: 'strict' must REFUSE (the
+        # docstring promises never to deserialize unverified pickle
+        # bytes silently), not fall through to torch.jit.load
+        msg = (
+            "no published sha256 pin for {} — cannot verify "
+            "(pass verify='warn' for synthetic/test archives)".format(path)
+        )
+        if verify == "strict":
+            raise ValueError(msg)
+        logging.warning(msg)
+    elif verify:
         digest = _sha256(path)
         verified = digest == pin
         if not verified:

@@ -142,19 +142,25 @@ def tsv_writer(rows, tsv_file, sep="\t"):
 
 
 def concat_tsv_files(tsvs, out_tsv):
-    """Concatenate shards and rebase their offset tables (tsv_io.py:22-31)."""
+    """Concatenate shards and rebase their offset tables (tsv_io.py:22-31).
+
+    Atomic like tsv_writer: everything lands under .tmp names and the
+    renames publish the offset tables BEFORE the data file — consumers
+    poll for the data file's existence (the reference's file barrier,
+    inference.py:214-225), so it must appear last and never be visible
+    half-written or paired with stale indices from a previous run."""
     if len(tsvs) == 1 and tsvs[0] == out_tsv:
         return
     sizes = [fileio.getsize(t) for t in tsvs]
     starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
-    with fileio.open_file(out_tsv, "wb") as fp_out:
+    with fileio.open_file(out_tsv + ".tmp", "wb") as fp_out:
         for t in tsvs:
             with fileio.open_file(t, "rb") as fp_in:
                 shutil.copyfileobj(fp_in, fp_out, 10 * 1024 * 1024)
     out8b = _sibling(out_tsv, ".lineidx.8b")
     outidx = _sibling(out_tsv, ".lineidx")
-    with fileio.open_file(out8b, "wb") as fp8b, fileio.open_file(
-        outidx, "w"
+    with fileio.open_file(out8b + ".tmp", "wb") as fp8b, fileio.open_file(
+        outidx + ".tmp", "w"
     ) as fpidx:
         for t, base in zip(tsvs, starts):
             offs = (
@@ -163,3 +169,6 @@ def concat_tsv_files(tsvs, out_tsv):
             )
             offs.astype("<i8").tofile(fp8b)
             fpidx.writelines(str(int(o)) + "\n" for o in offs)
+    fileio.replace(outidx + ".tmp", outidx)
+    fileio.replace(out8b + ".tmp", out8b)
+    fileio.replace(out_tsv + ".tmp", out_tsv)

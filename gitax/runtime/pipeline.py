@@ -292,6 +292,30 @@ class CaptionEngine(object):
             self.tokenizer.decode(s.tolist(), skip_special_tokens=True) for s in arr
         ]
 
+    def _prefetched_chunks(self, image_tsv, idxs, granule, depth=2):
+        """Iterate (chunk_row_indices, decoded_arrays) with `depth`
+        chunks of host decode in flight on the thread pool while the
+        device runs — the host stage shared by both TSV loops."""
+        chunks = [idxs[i : i + granule] for i in range(0, len(idxs), granule)]
+        futures = collections.deque()
+
+        def submit(batch_idxs):
+            payloads = [image_tsv[j][1] for j in batch_idxs]
+            futures.append(
+                (batch_idxs, self.pool.submit(self._decode_chunk, payloads))
+            )
+
+        for c in chunks[:depth]:
+            submit(c)
+        ci = depth
+        while futures:
+            batch_idxs, fut = futures.popleft()
+            decoded = fut.result()
+            if ci < len(chunks):
+                submit(chunks[ci])
+                ci += 1
+            yield batch_idxs, decoded
+
     # -- TSV caption pipeline ---------------------------------------------
     def run_caption_tsv(self, image_tsv_path, out_tsv, rank=0, world_size=1):
         image_tsv = TSVFile(image_tsv_path)
@@ -305,30 +329,13 @@ class CaptionEngine(object):
 
         def rows():
             idxs = list(range(start, end))
-            b = self.batch_size
-            # prefetch decode of the next chunks while the device runs
-            futures = collections.deque()
-
-            def submit(batch_idxs):
-                payloads = [image_tsv[j][1] for j in batch_idxs]
-                futures.append(
-                    (batch_idxs, self.pool.submit(self._decode_chunk, payloads))
-                )
-
-            chunks = [idxs[i : i + b] for i in range(0, len(idxs), b)]
-            for c in chunks[:2]:
-                submit(c)
-            ci = 2
             # three-stage pipeline: host decode of chunk i+1 (thread pool)
             # || device beam search of chunk i (async jax dispatch) ||
             # detokenization of chunk i-1 (this thread)
             pending = None  # (keys, dispatch handle)
-            while futures:
-                batch_idxs, fut = futures.popleft()
-                decoded = fut.result()
-                if ci < len(chunks):
-                    submit(chunks[ci])
-                    ci += 1
+            for batch_idxs, decoded in self._prefetched_chunks(
+                image_tsv, idxs, self.batch_size
+            ):
                 arrs, keys = [], []
                 for j, a in zip(batch_idxs, decoded):
                     if a is not None:
@@ -379,27 +386,25 @@ class CaptionEngine(object):
         def rows():
             idxs = list(range(start, end))
             dchunk = max(1, self.batch_size // 4)  # decode-prefetch granule
-            chunks = [idxs[i : i + dchunk] for i in range(0, len(idxs), dchunk)]
-            futures = collections.deque()
-
-            def submit(batch_idxs):
-                payloads = [image_tsv[j][1] for j in batch_idxs]
-                futures.append(
-                    (batch_idxs, self.pool.submit(self._decode_chunk, payloads))
-                )
-
-            for c in chunks[:2]:
-                submit(c)
-            ci = 2
             buckets = {}  # tp -> (arrays, prefixes, [(order, qid)])
-            pending = []  # (handle, [(order, qid)]) in dispatch order
+            # dispatched-but-unresolved handles, BOUNDED: each handle
+            # pins its input batch in device HBM until resolved, so an
+            # unbounded list would grow the device-side backlog with the
+            # shard (the caption path keeps exactly one pending)
+            pending = collections.deque()
+            max_inflight = 2
+            results = {}
             order = 0
-            while futures:
-                batch_idxs, fut = futures.popleft()
-                decoded = fut.result()
-                if ci < len(chunks):
-                    submit(chunks[ci])
-                    ci += 1
+
+            def drain(to_len):
+                while len(pending) > to_len:
+                    handle, meta = pending.popleft()
+                    for (pos, qid), ans in zip(meta, self.resolve(handle)):
+                        results[pos] = (qid, ans)
+
+            for batch_idxs, decoded in self._prefetched_chunks(
+                image_tsv, idxs, dchunk
+            ):
                 for i, arr in zip(batch_idxs, decoded):
                     ik = image_tsv.get_key(i)
                     qrow = question_tsv[i]
@@ -421,14 +426,12 @@ class CaptionEngine(object):
                                 (self.dispatch_varshape(b[0], b[1]), b[2])
                             )
                             buckets[len(prefix)] = ([], [], [])
+                            drain(max_inflight)
             for tp in sorted(buckets):
                 arrs, prefs, meta = buckets[tp]
                 if arrs:
                     pending.append((self.dispatch_varshape(arrs, prefs), meta))
-            results = {}
-            for handle, meta in pending:
-                for (pos, qid), ans in zip(meta, self.resolve(handle)):
-                    results[pos] = (qid, ans)
+            drain(0)
             for pos in sorted(results):
                 qid, ans = results[pos]
                 yield (json_dump({"answer": ans, "question_id": qid}),)

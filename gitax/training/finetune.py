@@ -73,17 +73,25 @@ class TSVCaptionDataset(object):
         return img, caption
 
 
-def _pad_tokens(batch: dict, pad_to: int) -> dict:
-    """Pad caption_tokens/need_predict to a fixed length (static shapes)."""
+def _pad_tokens(batch: dict, max_text_len: int) -> dict:
+    """Pad caption_tokens/need_predict to a fixed length (static shapes).
+
+    The fixed length is max_text_len + 2: make_caption_sample replicates
+    the reference's double-truncation quirk (train.py:52-57 — payloads
+    of max_text_len-1 or max_text_len escape the truncation branch and
+    gain [CLS]/[SEP] on top), so real samples can be up to
+    max_text_len + 2 long.  Slicing to max_text_len here would cut the
+    trailing [SEP] and its need_predict=1 — the EOS supervision — on
+    near-max-length captions."""
+    pad_to = max_text_len + 2
     out = dict(batch)
     for key in ("caption_tokens", "need_predict"):
         v = batch[key]
+        assert v.shape[1] <= pad_to, (v.shape, pad_to)
         if v.shape[1] < pad_to:
             buf = np.zeros((v.shape[0], pad_to), v.dtype)
             buf[:, : v.shape[1]] = v
             out[key] = buf
-        else:
-            out[key] = v[:, :pad_to]
     return out
 
 
@@ -104,10 +112,15 @@ def batch_iterator(
     def produce(q: queue.Queue):
         step = start_step
         pos = step * batch_size
+        cached_epoch, order = -1, None
         try:
             while step < num_steps:
                 epoch = pos // len(dataset)
-                order = dataset.epoch_order(epoch, seed)
+                if epoch != cached_epoch:
+                    # one permutation per EPOCH, not per step (O(N) on
+                    # the already-bottlenecked host otherwise)
+                    order = dataset.epoch_order(epoch, seed)
+                    cached_epoch = epoch
                 offset = pos % len(dataset)
                 idxs = [
                     int(order[(offset + j) % len(order)])
@@ -125,7 +138,9 @@ def batch_iterator(
                 q.put(_pad_tokens(collate_samples(samples), max_text_len))
                 step += 1
                 pos += batch_size
-        finally:
+        except BaseException as exc:  # surface producer failures
+            q.put(exc)
+        else:
             q.put(None)
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
@@ -135,6 +150,11 @@ def batch_iterator(
         item = q.get()
         if item is None:
             return
+        if isinstance(item, BaseException):
+            # a corrupt row/transform failure must FAIL the run, not
+            # masquerade as normal exhaustion (a silent early stop would
+            # still checkpoint as step=num_steps)
+            raise RuntimeError("finetune batch producer failed") from item
         yield item
 
 
@@ -150,11 +170,17 @@ def evaluate_model_on_tsv(
     num_beams: int = 4,
     max_steps: int = 40,
     dtype=None,
+    engine=None,
 ) -> dict:
     """Caption a val image TSV with the current params and score against
     the gt caption TSV with the native metric set (BLEU-4 / METEOR /
     ROUGE-L / CIDEr-D) — the in-training equivalent of the reference's
-    offline `evaluate_on_coco_caption` flow (inference.py:277-313)."""
+    offline `evaluate_on_coco_caption` flow (inference.py:277-313).
+
+    Pass `engine` (a CaptionEngine) to reuse its compiled beam-search
+    programs across validations — a fresh engine recompiles the whole
+    encode+prefill+search pipeline every call; only its params are
+    swapped in."""
     import jax.numpy as jnp
 
     from ..decode import BeamSearchConfig
@@ -162,15 +188,18 @@ def evaluate_model_on_tsv(
     from ..preprocess.transforms import TestTransform
     from ..runtime.pipeline import CaptionEngine
 
-    engine = CaptionEngine(
-        model,
-        params,
-        tokenizer,
-        TestTransform(crop_size=crop_size),
-        batch_size=batch_size,
-        beam=BeamSearchConfig(num_beams=num_beams, max_steps=max_steps),
-        dtype=dtype or jnp.bfloat16,
-    )
+    if engine is None:
+        engine = CaptionEngine(
+            model,
+            params,
+            tokenizer,
+            TestTransform(crop_size=crop_size),
+            batch_size=batch_size,
+            beam=BeamSearchConfig(num_beams=num_beams, max_steps=max_steps),
+            dtype=dtype or jnp.bfloat16,
+        )
+    else:
+        engine.params = params
     images = TSVFile(image_tsv)
     gts = TSVFile(caption_tsv)
     assert len(images) == len(gts), (len(images), len(gts))
@@ -280,11 +309,27 @@ def run_finetune(
             zero1_shard_opt_state,
         )
 
+        from jax.sharding import PartitionSpec as P
+
         sharded = shard_params(state.params, mesh)
+        # shard the EXISTING optimizer state (possibly just restored —
+        # re-initializing here would silently zero Adam moments and
+        # restart the LR schedule on every resume)
         opt_state = state.opt_state
         if zero1:
-            opt_state = zero1_shard_opt_state(tx.init(sharded), sharded, mesh)
-        state = state._replace(params=sharded, opt_state=opt_state)
+            opt_state = zero1_shard_opt_state(opt_state, sharded, mesh)
+        else:
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())), opt_state
+            )
+        # the step counter must also live on the mesh: a RESTORED state's
+        # leaves are committed to one device and would clash with the
+        # mesh-context jit otherwise
+        state = state._replace(
+            params=sharded,
+            opt_state=opt_state,
+            step=jax.device_put(state.step, NamedSharding(mesh, P())),
+        )
 
         def place(batch):
             specs = batch_partition_specs(batch)
@@ -301,10 +346,28 @@ def run_finetune(
     step_fn = jax.jit(make_train_step(model, tx, dtype=dtype, remat=remat),
                       donate_argnums=(0,))
 
+    val_engine_box = [None]
+
     def validate(step_now):
+        if val_engine_box[0] is None:
+            from ..decode import BeamSearchConfig
+            from ..preprocess.transforms import TestTransform
+            from ..runtime.pipeline import CaptionEngine
+
+            vk = dict(val_kwargs or {})
+            val_engine_box[0] = CaptionEngine(
+                model, state.params, tokenizer,
+                TestTransform(crop_size=vk.get("crop_size", 224)),
+                batch_size=vk.get("batch_size", 8),
+                beam=BeamSearchConfig(
+                    num_beams=vk.get("num_beams", 4),
+                    max_steps=vk.get("max_steps", 40),
+                ),
+                dtype=dtype,
+            )
         metrics = evaluate_model_on_tsv(
             model, state.params, tokenizer, val_image_tsv, val_caption_tsv,
-            dtype=dtype, **(val_kwargs or {}),
+            dtype=dtype, engine=val_engine_box[0], **(val_kwargs or {}),
         )
         logging.info(
             "validation @ step %d: %s", step_now,

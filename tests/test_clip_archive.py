@@ -122,3 +122,18 @@ def test_image_encoder_resize_matches_reference(archive):
         rtol=1e-5,
         atol=1e-5,
     )
+
+
+def test_strict_refuses_unpinned_path(tmp_path):
+    """verify='strict' must refuse to deserialize an archive whose
+    basename matches no published pin (torchscript archives are pickle
+    containers; silent unverified loads are the failure mode the strict
+    mode exists to prevent)."""
+    import pytest
+
+    from gitax.ckpt.clip_archive import load_clip_archive
+
+    path = tmp_path / "mystery_model.pt"
+    path.write_bytes(b"not an archive")
+    with pytest.raises(ValueError, match="no published sha256 pin"):
+        load_clip_archive(str(path), verify="strict")

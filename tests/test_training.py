@@ -300,8 +300,11 @@ def test_finetune_dataset_and_iterator(tmp_path):
     )
     assert len(batches) == 3
     for b in batches:
-        assert b["caption_tokens"].shape == (4, 40)  # fixed-length pad
-        assert b["need_predict"].shape == (4, 40)
+        # fixed-length pad to max_text_len + 2: the reference's
+        # double-truncation quirk can emit samples that long, and
+        # slicing shorter would cut the [SEP]/EOS supervision
+        assert b["caption_tokens"].shape == (4, 42)
+        assert b["need_predict"].shape == (4, 42)
     # multi-scale: crop size cycles with the step index
     assert batches[0]["image"].shape[1] == tr.crop_size_for(0)
     assert batches[1]["image"].shape[1] == tr.crop_size_for(1)
@@ -374,6 +377,32 @@ def test_run_finetune_mesh_zero1(tmp_path):
         for leaf in jax.tree_util.tree_leaves(state.opt_state)
     )
     assert sharded, "ZeRO-1 moments did not shard"
+
+    # resume on the mesh must SHARD the restored optimizer state, not
+    # re-init it (re-initializing would zero Adam moments and restart
+    # the LR schedule after every interruption)
+    save_dir = str(tmp_path / "mesh_ckpt")
+    state = run_finetune(
+        img_tsv, cap_tsv, model, num_steps=2, batch_size=8,
+        multi_scale=False, train_crop_size=32, dtype=jnp.float32,
+        tokenizer=tok, warmup_steps=1, mesh=mesh, log_every=1,
+        save_dir=save_dir, save_every=2,
+    )
+    mu_after_2 = jax.tree_util.tree_leaves(state.opt_state)
+    state = run_finetune(
+        img_tsv, cap_tsv, model, num_steps=4, batch_size=8,
+        multi_scale=False, train_crop_size=32, dtype=jnp.float32,
+        tokenizer=tok, warmup_steps=1, mesh=mesh, log_every=1,
+        save_dir=save_dir, save_every=4, resume=True,
+    )
+    assert int(state.step) == 4
+    counts = [
+        int(x)
+        for x in jax.tree_util.tree_leaves(state.opt_state)
+        if getattr(x, "ndim", None) == 0 and jnp.issubdtype(x.dtype, jnp.integer)
+    ]
+    # the schedule/moment step count continued from the restored step
+    assert any(c == 4 for c in counts), counts
 
 
 def test_finetune_with_validation(tmp_path, caplog):
@@ -486,3 +515,53 @@ def test_fast_softmax_train_step_close():
     state2, m_bf = step_bf(state, bbf)
     assert np.isfinite(float(m_bf["loss"]))
     assert abs(float(m_bf["loss"]) - float(m_ref["loss"])) < 0.1
+
+
+def test_pad_tokens_keeps_eos_on_near_max_captions():
+    """A caption whose payload is exactly max_text_len escapes the
+    reference's truncation branch (train.py:52-57) and gains [CLS]/[SEP]
+    — the fixed-length pad must keep that [SEP] and its need_predict=1."""
+    from gitax.preprocess.train_transforms import collate_samples, make_caption_sample
+    from gitax.preprocess.train_transforms import TrainTransform
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+    from gitax.training.finetune import _pad_tokens
+    from PIL import Image
+
+    tok = BertTokenizer(build_tiny_vocab(words=["dog"]))
+    tr = TrainTransform(train_crop_size=32, min_size_range32=None,
+                        patch_size=16, seed=0)
+    img = Image.new("RGB", (32, 32))
+    max_text_len = 8
+    sample = make_caption_sample(
+        tok, img, "", " ".join(["dog"] * max_text_len), tr,
+        max_text_len=max_text_len,
+    )
+    assert len(sample["caption_tokens"]) == max_text_len + 2
+    batch = _pad_tokens(collate_samples([sample]), max_text_len)
+    assert batch["caption_tokens"].shape == (1, max_text_len + 2)
+    toks = batch["caption_tokens"][0]
+    np_last = batch["need_predict"][0][len(sample["caption_tokens"]) - 1]
+    assert toks[len(sample["caption_tokens"]) - 1] == tok.sep_token_id
+    assert np_last == 1
+
+
+def test_batch_iterator_raises_on_producer_failure(tmp_path):
+    """A corrupt row must fail the run loudly, not end it early."""
+    import base64
+    import json as js
+
+    from gitax.io.tsv import tsv_writer
+    from gitax.preprocess.train_transforms import TrainTransform
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+    from gitax.training import TSVCaptionDataset, batch_iterator
+
+    img_tsv = str(tmp_path / "img.tsv")
+    cap_tsv = str(tmp_path / "cap.tsv")
+    tsv_writer([("k0", base64.b64encode(b"not a jpeg").decode())], img_tsv)
+    tsv_writer([("k0", js.dumps([{"caption": "a dog"}]))], cap_tsv)
+    ds = TSVCaptionDataset(img_tsv, cap_tsv)
+    tok = BertTokenizer(build_tiny_vocab(words=["a", "dog"]))
+    tr = TrainTransform(train_crop_size=32, min_size_range32=None,
+                        patch_size=16, seed=0)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(batch_iterator(ds, tok, tr, batch_size=1, num_steps=1, seed=0))

@@ -131,3 +131,35 @@ def test_fileio_backend_seam(tmp_path, monkeypatch):
         fileio.set_backend(orig)
     assert calls["open"] >= 3  # three .tmp files at minimum
     assert calls["prepare"] >= 2  # data + lineidx.8b mmaps
+
+
+def test_concat_tsv_files_is_atomic(tmp_path, monkeypatch):
+    """concat publishes the offset tables BEFORE the data file and only
+    via renames — a barrier polling for the data file must never see it
+    half-written or paired with stale indices."""
+    import gitax.io.fileio as fileio
+    from gitax.io.tsv import TSVFile, concat_tsv_files, tsv_writer
+
+    a, b_, out = (str(tmp_path / n) for n in ("a.tsv", "b.tsv", "out.tsv"))
+    tsv_writer([("k0", "v0"), ("k1", "v1")], a)
+    tsv_writer([("k2", "v2")], b_)
+    # stale artifacts from a "previous run" at the output path
+    tsv_writer([("old", "old")], out)
+
+    events = []
+    orig_replace = fileio.replace
+
+    def spy_replace(src, dst):
+        events.append(dst)
+        return orig_replace(src, dst)
+
+    monkeypatch.setattr(fileio, "replace", spy_replace)
+    concat_tsv_files([a, b_], out)
+    # data file rename is LAST (it is the barrier signal)
+    assert events[-1] == out
+    base = out[: -len(".tsv")]
+    assert set(events) == {out, base + ".lineidx", base + ".lineidx.8b"}
+    t = TSVFile(out)
+    assert [t[i] for i in range(3)] == [
+        ["k0", "v0"], ["k1", "v1"], ["k2", "v2"]
+    ]

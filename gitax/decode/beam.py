@@ -72,7 +72,12 @@ def top_k_top_p_filter(logits, top_k=0, top_p=None, min_tokens_to_keep=1,
         kth = jax.lax.top_k(logits, k)[0][..., -1:]
         logits = jnp.where(logits < kth, filter_value, logits)
     if top_p is not None and top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        # stable descending order; removal is POSITIONAL (scatter back by
+        # sorted position, reference decoder.py:1360-1374) — a value
+        # threshold would also keep tokens TIED with the smallest kept
+        # logit, silently widening the sampling support
+        order = jnp.argsort(-logits, axis=-1, stable=True)
+        sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
         cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
         # keep tokens until cumulative prob exceeds top_p (shifted right so
         # the first token above the threshold is kept), always keeping
@@ -84,10 +89,10 @@ def top_k_top_p_filter(logits, top_k=0, top_p=None, min_tokens_to_keep=1,
         )
         if min_tokens_to_keep > 1:
             remove_sorted = remove_sorted.at[..., :min_tokens_to_keep].set(False)
-        # threshold value: smallest kept logit
-        kept = jnp.where(remove_sorted, jnp.inf, sorted_logits)
-        thresh = jnp.min(kept, axis=-1, keepdims=True)
-        logits = jnp.where(logits < thresh, filter_value, logits)
+        # rank[j] = position of column j in the sorted order
+        rank = jnp.argsort(order, axis=-1, stable=True)
+        removed = jnp.take_along_axis(remove_sorted, rank, axis=-1)
+        logits = jnp.where(removed, filter_value, logits)
     return logits
 
 
@@ -258,8 +263,15 @@ def beam_search(
             lt = logits.astype(jnp.float32)
             if cfg.temperature != 1.0:
                 lt = lt / cfg.temperature
+            # the reference hard-codes min_tokens_to_keep=2
+            # (decoder.py:1152); keeping at least per_node_beam_size
+            # additionally guards the degenerate config where the filter
+            # leaves fewer finite logits than samples drawn (the Gumbel
+            # top-k would then seat a -inf [PAD] candidate and kill its
+            # beam; the reference's torch.multinomial errors there)
             lt = top_k_top_p_filter(
-                lt, cfg.top_k, cfg.top_p, min_tokens_to_keep=2
+                lt, cfg.top_k, cfg.top_p,
+                min_tokens_to_keep=max(2, cfg.per_node_beam_size),
             )
             rng_cur, sub = jax.random.split(rng_cur)
             gumbel = jax.random.gumbel(sub, lt.shape, jnp.float32)
@@ -379,6 +391,11 @@ def beam_search(
             anc_par,
         )
         cache_re = cache_in._replace(anc=anc_new)
+        # NOTE: the final iteration's decode_step produces logits nobody
+        # reads (~1/max_steps of the search).  Skipping it behind a
+        # lax.cond was MEASURED SLOWER on v5e (511 -> 485 img/s): the
+        # cond boundary forces the loop-carried cache buffers to
+        # materialize, costing more than the dead step saves.
         step_logits, cache_new = decode_step_fn(words.reshape(-1), cache_re)
 
         st_new = dict(

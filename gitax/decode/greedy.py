@@ -51,6 +51,8 @@ def greedy_search(
         col = jax.nn.one_hot(st["cur_len"], max_steps, dtype=bool)[None, :]
         seqs = jnp.where(col, words[:, None], st["seqs"])
         finished = st["finished"] | (words == eos_id)
+        # (a lax.cond skip of the final dead decode step measured slower
+        # on v5e — the cond boundary materializes the carried cache)
         logits, cache = decode_step_fn(words, st["cache"])
         return dict(
             cur_len=st["cur_len"] + 1,

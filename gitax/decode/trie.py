@@ -171,6 +171,8 @@ def trie_greedy_search(
         seqs = jnp.where(col, tok[:, None], st["seqs"])
         sum_lp = st["sum_logprobs"] + jnp.where(st["finished"], 0.0, lp)
         finished = st["finished"] | (tok == eos_id)
+        # (a lax.cond skip of the final dead decode step measured slower
+        # on v5e — the cond boundary materializes the carried cache)
         logits_next, cache = decode_step_fn(tok, st["cache"])
         return dict(
             cur_len=st["cur_len"] + 1,

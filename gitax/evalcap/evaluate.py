@@ -82,7 +82,7 @@ def evaluate_on_coco_caption(res_file, label_file, outfile=None):
         result = coco_eval.eval
     except ImportError:
         logging.info("pycocoevalcap not installed; using gitax native scorers "
-                     "(BLEU/ROUGE_L/CIDEr; no METEOR/SPICE)")
+                     "(BLEU/METEOR/ROUGE_L/CIDEr; no SPICE)")
         candidates = _load_res_json(res_file_coco)
         references = _load_label_json(label_file)
         missing = set(candidates) - set(references)

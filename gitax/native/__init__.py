@@ -31,6 +31,10 @@ def _build():
     if op.isfile(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
         return so
     include = sysconfig.get_paths()["include"]
+    # compile to a private temp name and publish with an atomic rename:
+    # concurrent processes may race on a stale/missing .so, and loading
+    # a half-written object would poison this process's native path
+    tmp = "{}.tmp.{}".format(so, os.getpid())
     cmd = [
         "g++",
         "-O3",
@@ -43,9 +47,10 @@ def _build():
         "-ljpeg",
         "-lpthread",
         "-o",
-        so,
+        tmp,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so)
     return so
 
 

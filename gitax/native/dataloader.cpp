@@ -218,9 +218,12 @@ bool process_one(const unsigned char* data, size_t len, bool is_b64, int size,
   std::vector<float> img((size_t)oh * ow * 3);
   transpose_rgb(f2.data(), ow, oh, img.data());
 
-  // center-crop origin, matching gitax.preprocess.center_crop
-  int left = (int)std::lround((ow - size) / 2.0);
-  int top = (int)std::lround((oh - size) / 2.0);
+  // center-crop origin, matching gitax.preprocess.center_crop which
+  // uses Python round() = round-half-to-EVEN; std::nearbyint under the
+  // default FE_TONEAREST mode matches (lround rounds half away from
+  // zero and shifts the crop window one pixel on odd margins)
+  int left = (int)std::nearbyint((ow - size) / 2.0);
+  int top = (int)std::nearbyint((oh - size) / 2.0);
   if (left < 0) left = 0;
   if (top < 0) top = 0;
   for (int y = 0; y < size; y++) {

@@ -111,3 +111,33 @@ def test_engine_native_path(tmp_path):
     t = TSVFile(out)
     assert len(t) == 3
     assert [t.get_key(i) for i in range(3)] == ["k0", "k1", "k2"]
+
+
+def test_crop_origin_rounding_matches_python_round():
+    """Odd crop margins with an even .5 half: Python round() is banker's
+    (round-half-to-even) while lround is half-away-from-zero — the
+    native crop must match the PIL path's origin exactly.  A 448x450
+    source resized to shorter-side 224 gives a 224x225 image: margin
+    0.5 -> top=0 in Python; lround would give top=1 (one-row shift)."""
+    from gitax.preprocess.transforms import center_crop, resize_shorter
+
+    rng = np.random.RandomState(7)
+    img = Image.fromarray(rng.randint(0, 255, (450, 448, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    raw = buf.getvalue()
+
+    arr, ok = native.decode_resize_crop_batch(
+        [base64.b64encode(raw)], 224, fast_scale=False
+    )
+    assert ok.all()
+    pil = np.asarray(
+        center_crop(
+            resize_shorter(Image.open(io.BytesIO(raw)).convert("RGB"), 224), 224
+        )
+    )
+    diff = np.abs(arr[0].astype(np.int32) - pil.astype(np.int32))
+    # exact-mode kernel parity is a few LSBs; a one-row crop shift over
+    # random noise would push the MEAN difference to ~80
+    assert diff.mean() < 2.0, diff.mean()
+    assert diff.max() <= 8, diff.max()

@@ -17,12 +17,6 @@ from typing import Any, Optional
 import jax
 
 
-def _manager(directory):
-    import orbax.checkpoint as ocp
-
-    return ocp.StandardCheckpointer(), ocp
-
-
 def save_params(directory: str, params: Any, step: Optional[int] = None):
     """Save a params (or any) pytree under directory[/step_N]."""
     import orbax.checkpoint as ocp

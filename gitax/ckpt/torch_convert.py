@@ -47,7 +47,11 @@ def load_torch_checkpoint(path):
     from ..io import fileio
 
     with fileio.open_file(path, "rb") as fp:
-        blob = torch.load(io.BytesIO(fp.read()), map_location="cpu", weights_only=False)
+        # torch.load takes any seekable file-like; only buffer when the
+        # backend stream cannot seek (buffering a multi-GB model.pt
+        # doubles peak host memory for nothing on the local path)
+        src = fp if getattr(fp, "seekable", lambda: False)() else io.BytesIO(fp.read())
+        blob = torch.load(src, map_location="cpu", weights_only=False)
     state = blob.get("model", blob) if isinstance(blob, dict) else blob
     out = {}
     for k, v in state.items():

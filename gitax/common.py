@@ -248,28 +248,36 @@ def init_logging(level=logging.INFO):
 # ---------------------------------------------------------------------------
 
 
-def get_mpi_rank():
-    rank = os.environ.get("RANK", os.environ.get("OMPI_COMM_WORLD_RANK"))
-    if rank is not None:
-        return int(rank)
+def _jax_distributed_initialized():
     try:
+        import jax
+
+        return jax.distributed.is_initialized()
+    except Exception:
+        return False
+
+
+def get_mpi_rank():
+    # an INITIALISED jax.distributed runtime is the actual communicator
+    # and wins over env vars (a launcher may export RANK/WORLD_SIZE with
+    # unrelated semantics, e.g. GPUs-per-node — sharding rows by those
+    # would process some rows twice and drop others); without it, the
+    # env vars keep the reference's mpirun-compatible surface
+    if _jax_distributed_initialized():
         import jax
 
         return jax.process_index()
-    except Exception:
-        return 0
+    rank = os.environ.get("RANK", os.environ.get("OMPI_COMM_WORLD_RANK"))
+    return int(rank) if rank is not None else 0
 
 
 def get_mpi_size():
-    size = os.environ.get("WORLD_SIZE", os.environ.get("OMPI_COMM_WORLD_SIZE"))
-    if size is not None:
-        return int(size)
-    try:
+    if _jax_distributed_initialized():
         import jax
 
         return jax.process_count()
-    except Exception:
-        return 1
+    size = os.environ.get("WORLD_SIZE", os.environ.get("OMPI_COMM_WORLD_SIZE"))
+    return int(size) if size is not None else 1
 
 
 def get_mpi_local_rank():

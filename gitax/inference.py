@@ -125,22 +125,21 @@ def test_git_inference_single_image(image_path, model_name, prefix="",
     imgs = np.stack([transform(load_image(p)) for p in image_path])
 
     model, params = _build_model(model_name, param)
+    # high-res models (MinMaxResizeForTest) produce dimensions that are
+    # not patch multiples; the reference's strided patchify conv simply
+    # truncates the remainder pixels (CLIP/model.py:221), so do the same
+    # (the TSV engine's dispatch_varshape already does)
+    p = model.cfg.encoder.patch_size
+    h, w = (imgs.shape[1] // p) * p, (imgs.shape[2] // p) * p
+    imgs = imgs[:, :h, :w]
     if len(image_path) > 1:
         images = jnp.asarray(imgs)[None]  # [1, F, H, W, 3] video frames
     else:
         images = jnp.asarray(imgs)  # [1, H, W, 3]
 
-    max_text_len = 40
-    payload = tokenizer(
-        prefix,
-        padding="do_not_pad",
-        truncation=True,
-        add_special_tokens=False,
-        max_length=max_text_len,
-    )["input_ids"]
-    if len(payload) > max_text_len - 2:
-        payload = payload[-(max_text_len - 2):]
-    input_ids = [tokenizer.cls_token_id] + payload
+    from .tokenization import encode_prefix
+
+    input_ids = encode_prefix(tokenizer, prefix, max_text_len=40)
 
     if vocab_file:
         from .common import load_list_file

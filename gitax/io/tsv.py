@@ -73,8 +73,14 @@ class TSVFile(object):
         return int(self._offsets[idx])
 
     def row_bytes(self, idx):
-        """Raw row bytes without the trailing newline."""
+        """Raw row bytes without the trailing newline.  Negative indices
+        work list-like (numpy would silently pair row[-1]'s offset with
+        row 0's end otherwise — an empty row, not an error)."""
         self._ensure_open()
+        if idx < 0:
+            idx += self._len
+        if not 0 <= idx < self._len:
+            raise IndexError(idx)
         start = self.get_offset(idx)
         end = (
             self.get_offset(idx + 1) if idx < self._len - 1 else self._data.shape[0]

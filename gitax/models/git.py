@@ -59,8 +59,12 @@ class GitModel(object):
 
         Video frames are encoded per frame, each offset by its learned
         temporal embedding, then concatenated on the token axis
-        (decoder.py:846-851).  flash: None = auto (Pallas kernel on TPU;
-        inference only — pass False on differentiated paths).
+        (decoder.py:846-851).  Frames beyond num_image_with_embedding are
+        DROPPED, matching the reference's zip truncation (decoder.py:849
+        rebinds `features` to the zip result, so an 8-frame batch into a
+        6-embedding model silently uses the first 6 frames).  flash:
+        None/False = the XLA attention path (measured faster than the
+        Pallas kernel at GIT encoder shapes); True opts into the kernel.
         """
         if images.ndim == 4:
             return vit_forward(
@@ -68,6 +72,9 @@ class GitModel(object):
                 flash=flash, fast=fast,
             )
         b, f = images.shape[:2]
+        if self.cfg.num_image_with_embedding:
+            f = min(f, self.cfg.num_image_with_embedding)
+            images = images[:, :f]
         flat = images.reshape((b * f,) + images.shape[2:])
         feats = vit_forward(
             params["image_encoder"], flat, self.cfg.encoder, dtype,

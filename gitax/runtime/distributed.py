@@ -23,11 +23,26 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     coordinator_address = coordinator_address or os.environ.get(
         "COORDINATOR_ADDRESS"
     )
-    num_processes = num_processes or _int_env("WORLD_SIZE")
-    process_id = process_id if process_id is not None else _int_env("RANK")
+    # honor the SAME env surface as common.get_mpi_rank/get_mpi_size
+    # (RANK/WORLD_SIZE and the OMPI_COMM_WORLD_* variables mpirun sets —
+    # the reference's documented launcher, README.md:121); reading only
+    # WORLD_SIZE would silently skip setup under mpirun
+    if num_processes is None:
+        num_processes = _int_env("WORLD_SIZE") or _int_env(
+            "OMPI_COMM_WORLD_SIZE"
+        )
+    if process_id is None:
+        process_id = _int_env("RANK")
+        if process_id is None:
+            process_id = _int_env("OMPI_COMM_WORLD_RANK")
     if coordinator_address is None and num_processes in (None, 1):
         logging.info("single-process run; skipping jax.distributed")
         return False
+    if num_processes is not None and process_id is None:
+        raise ValueError(
+            "world size {} given but no rank (set RANK or "
+            "OMPI_COMM_WORLD_RANK)".format(num_processes)
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from ..common import json_dump
 from ..decode import BeamSearchConfig
+from ..io import fileio
 from ..io.image import image_from_base64
 from ..io.tsv import TSVFile, concat_tsv_files, tsv_writer
 from ..models.git import GitModel
@@ -57,7 +58,10 @@ def wait_and_concat_shards(out_tsv: str, world_size: int, poll_s: float = 5.0,
     ]
     deadline = None if timeout_s is None else time.time() + timeout_s
     while True:
-        missing = [s for s in shards if not op.isfile(s)]
+        # the shards are WRITTEN through the fileio backend seam, so the
+        # barrier must poll through it too (a remote backend's files
+        # never exist as local paths)
+        missing = [s for s in shards if not fileio.isfile(s)]
         if not missing:
             break
         if deadline and time.time() > deadline:
@@ -204,17 +208,10 @@ class CaptionEngine(object):
 
     def encode_prefix(self, text: str) -> List[int]:
         """[CLS] + last (max_text_len-2) question tokens
-        (reference inference.py:92-101)."""
-        payload = self.tokenizer(
-            text,
-            padding="do_not_pad",
-            truncation=True,
-            add_special_tokens=False,
-            max_length=self.max_text_len,
-        )["input_ids"]
-        if len(payload) > self.max_text_len - 2:
-            payload = payload[-(self.max_text_len - 2):]
-        return [self.tokenizer.cls_token_id] + payload
+        (reference inference.py:92-101; shared helper in tokenization)."""
+        from ..tokenization import encode_prefix
+
+        return encode_prefix(self.tokenizer, text, self.max_text_len)
 
     # -- variable-resolution batching --------------------------------------
     def dispatch_varshape(self, images: List[np.ndarray], prefixes: List[List[int]]):
@@ -328,7 +325,10 @@ class CaptionEngine(object):
         cls = self.tokenizer.cls_token_id
 
         def rows():
+            from .profiling import ThroughputMeter
+
             idxs = list(range(start, end))
+            meter = ThroughputMeter(name="caption_tsv", unit="images")
             # three-stage pipeline: host decode of chunk i+1 (thread pool)
             # || device beam search of chunk i (async jax dispatch) ||
             # detokenization of chunk i-1 (this thread)
@@ -350,11 +350,13 @@ class CaptionEngine(object):
                     pkeys, phandle = pending
                     for k, cap in zip(pkeys, self.resolve(phandle)):
                         yield k, json_dump([{"caption": cap}])
+                    meter.update(len(pkeys))
                 pending = (keys, handle) if handle is not None else None
             if pending is not None:
                 pkeys, phandle = pending
                 for k, cap in zip(pkeys, self.resolve(phandle)):
                     yield k, json_dump([{"caption": cap}])
+                meter.update(len(pkeys))
 
         tsv_writer(rows(), cur_out)
         if world_size > 1 and rank == 0:

@@ -201,10 +201,23 @@ class BertTokenizer(object):
         self.vocab = {tok: i for i, tok in enumerate(vocab_tokens)}
         self.ids_to_tokens = list(vocab_tokens)
         self.do_lower_case = do_lower_case
-        self.basic_tokenizer = BasicTokenizer(do_lower_case=do_lower_case)
-        self.wordpiece_tokenizer = WordpieceTokenizer(self.vocab)
         self.pad_token, self.unk_token = "[PAD]", "[UNK]"
         self.cls_token, self.sep_token, self.mask_token = "[CLS]", "[SEP]", "[MASK]"
+        self._special_tokens = (
+            self.pad_token, self.unk_token, self.cls_token,
+            self.sep_token, self.mask_token,
+        )
+        # HF parity: literal special-token strings in input text stay
+        # atomic (HF pre-splits on them and passes them as never_split)
+        self.basic_tokenizer = BasicTokenizer(
+            do_lower_case=do_lower_case, never_split=self._special_tokens
+        )
+        self.wordpiece_tokenizer = WordpieceTokenizer(self.vocab)
+        import re as _re
+
+        self._special_split = _re.compile(
+            "(" + "|".join(_re.escape(t) for t in self._special_tokens) + ")"
+        )
         for t in (
             self.pad_token,
             self.unk_token,
@@ -276,8 +289,17 @@ class BertTokenizer(object):
     # -- encode ------------------------------------------------------------
     def tokenize(self, text: str) -> List[str]:
         out = []
-        for token in self.basic_tokenizer.tokenize(text):
-            out.extend(self.wordpiece_tokenizer.tokenize(token))
+        # split on literal special-token substrings first (HF's
+        # split_on_tokens): "[SEP]" in the text maps to the single
+        # special token, not '[', 'sep', ']' wordpieces
+        for chunk in self._special_split.split(text):
+            if not chunk:
+                continue
+            if chunk in self.vocab and chunk in self._special_tokens:
+                out.append(chunk)
+                continue
+            for token in self.basic_tokenizer.tokenize(chunk):
+                out.extend(self.wordpiece_tokenizer.tokenize(token))
         return out
 
     def convert_tokens_to_ids(self, tokens):
@@ -356,6 +378,23 @@ class BertTokenizer(object):
         if clean_up_tokenization_spaces:
             text = self.clean_up_tokenization(text)
         return text
+
+
+def encode_prefix(tokenizer, text: str, max_text_len: int = 40):
+    """[CLS] + last (max_text_len-2) prefix/question tokens — the ONE
+    home for the reference's parity-sensitive prefix construction
+    (inference.py:92-101, incl. the tail-truncation rule); used by both
+    the single-image CLI and the TSV engine."""
+    payload = tokenizer(
+        text,
+        padding="do_not_pad",
+        truncation=True,
+        add_special_tokens=False,
+        max_length=max_text_len,
+    )["input_ids"]
+    if len(payload) > max_text_len - 2:
+        payload = payload[-(max_text_len - 2):]
+    return [tokenizer.cls_token_id] + payload
 
 
 def build_tiny_vocab(words=(), size=30522):

@@ -109,17 +109,38 @@ def speed_test_forward_backward(duplicate=32, iterations=1000, dtype="bfloat16",
 
     bsz = batch["image"].shape[0]
     start = time.time()
-    for iteration in range(iterations):
+    logged_at = 0
+    for iteration in range(1, iterations + 1):
         state, metrics = step(state, batch)
-        if iteration % 10 == 0 and iteration > 0:
-            loss_now = float(metrics["loss"])
+        if iteration % 10 == 0:
+            loss_now = float(metrics["loss"])  # device sync
             end = time.time()
+            window = iteration - logged_at
             logging.info(
                 "speed = %.1f images/s (loss %.4f)",
-                bsz * 10 / (end - start), loss_now,
+                bsz * window / (end - start), loss_now,
             )
+            logged_at = iteration
             start = time.time()
     logging.info("final loss %s", float(metrics["loss"]))
+
+
+def _load_checkpoint_params(checkpoint, model):
+    """Checkpoint dispatch shared by the finetune/SCST CLIs: a reference
+    torch `model.pt` (converted on load) or an Orbax directory."""
+    if not checkpoint:
+        return None
+    import jax
+
+    if checkpoint.endswith(".pt"):
+        from .ckpt import convert_git_state_dict, load_torch_checkpoint
+
+        return convert_git_state_dict(load_torch_checkpoint(checkpoint), model.cfg)
+    from .ckpt.serialization import restore_params
+
+    return restore_params(
+        checkpoint, template=model.init_params(jax.random.PRNGKey(0))
+    )
 
 
 def finetune(
@@ -161,20 +182,7 @@ def finetune(
 
     param = get_model_param(model_name) if model_name else {}
     model = GitModel.from_param(param)
-    params = None
-    if checkpoint:
-        if checkpoint.endswith(".pt"):
-            from .ckpt import convert_git_state_dict, load_torch_checkpoint
-
-            params = convert_git_state_dict(
-                load_torch_checkpoint(checkpoint), model.cfg
-            )
-        else:
-            from .ckpt.serialization import restore_params
-
-            params = restore_params(
-                checkpoint, template=model.init_params(jax.random.PRNGKey(0))
-            )
+    params = _load_checkpoint_params(checkpoint, model)
 
     mesh = None
     if data_parallel:
@@ -231,20 +239,7 @@ def scst_finetune(
 
     param = get_model_param(model_name) if model_name else {}
     model = GitModel.from_param(param)
-    params = None
-    if checkpoint:
-        if checkpoint.endswith(".pt"):
-            from .ckpt import convert_git_state_dict, load_torch_checkpoint
-
-            params = convert_git_state_dict(
-                load_torch_checkpoint(checkpoint), model.cfg
-            )
-        else:
-            from .ckpt.serialization import restore_params
-
-            params = restore_params(
-                checkpoint, template=model.init_params(jax.random.PRNGKey(0))
-            )
+    params = _load_checkpoint_params(checkpoint, model)
 
     state = run_scst(
         image_tsv,

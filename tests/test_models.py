@@ -152,3 +152,32 @@ def test_video_frames_with_temporal_embedding():
     )
     feats2 = model.encode_images(params2, frames)
     assert not np.allclose(np.asarray(feats), np.asarray(feats2))
+
+
+def test_video_extra_frames_truncated_like_reference():
+    """Frames beyond num_image_with_embedding are dropped (the reference
+    rebinds `features` to the zip() result, decoder.py:849, so an
+    8-frame batch into a 6-embedding model uses the first 6 frames —
+    previously this raised a broadcast error here)."""
+    from gitax.models.config import GitConfig, ViTConfig
+
+    cfg = GitConfig(
+        encoder=ViTConfig(16, 32, 1, 2, 32),
+        visual_feature_size=32,
+        vocab_size=64,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=2,
+        feedforward_size=64,
+        max_caption_length=16,
+        num_image_with_embedding=2,
+    )
+    model = GitModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    vids4 = jnp.asarray(rng.randn(1, 4, 32, 32, 3), jnp.float32)
+    feats4 = model.encode_images(params, vids4)
+    feats2 = model.encode_images(params, vids4[:, :2])
+    # 2 frames x (4 patches + cls) tokens; frames 3-4 ignored
+    assert feats4.shape == feats2.shape
+    np.testing.assert_allclose(np.asarray(feats4), np.asarray(feats2), rtol=1e-6)

@@ -24,6 +24,12 @@ from gitax.tokenization import BertTokenizer as GitaxTokenizer
 GOLDEN_STRINGS = [
     "",
     " ",
+    # literal special-token strings must stay atomic (HF split_on_tokens)
+    "hello [SEP] world",
+    "a[SEP]b",
+    "[UNK]x",
+    "x [MASK][CLS] hello",
+    "[PAD]hello[PAD]",
     "a man holding a dog",
     "A Man HOLDING a DOG!",
     "don't stop, won't stop.",

@@ -71,3 +71,37 @@ def test_path_key_expansion():
 
 def test_json_dump_deterministic():
     assert json_dump({"b": 1, "a": 2}) == '{"a":2,"b":1}'
+
+
+def test_mpi_rank_env_surface(monkeypatch):
+    """Env-var surface matches the reference (RANK/OMPI_COMM_WORLD_RANK,
+    common.py:106-119); an initialised jax.distributed runtime would
+    take precedence (not initialisable in-process here, so the env path
+    is what this pins)."""
+    from gitax.common import get_mpi_rank, get_mpi_size
+
+    for var in ("RANK", "WORLD_SIZE", "OMPI_COMM_WORLD_RANK",
+                "OMPI_COMM_WORLD_SIZE"):
+        monkeypatch.delenv(var, raising=False)
+    assert get_mpi_rank() == 0 and get_mpi_size() == 1
+    monkeypatch.setenv("OMPI_COMM_WORLD_RANK", "3")
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "8")
+    assert get_mpi_rank() == 3 and get_mpi_size() == 8
+    # RANK/WORLD_SIZE win over the OMPI names (reference precedence)
+    monkeypatch.setenv("RANK", "1")
+    monkeypatch.setenv("WORLD_SIZE", "4")
+    assert get_mpi_rank() == 1 and get_mpi_size() == 4
+
+
+def test_distributed_initialize_requires_rank_with_world(monkeypatch):
+    import pytest
+
+    from gitax.runtime.distributed import initialize
+
+    for var in ("RANK", "WORLD_SIZE", "OMPI_COMM_WORLD_RANK",
+                "OMPI_COMM_WORLD_SIZE", "COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize() is False  # single-process no-op
+    monkeypatch.setenv("WORLD_SIZE", "4")
+    with pytest.raises(ValueError, match="no rank"):
+        initialize()

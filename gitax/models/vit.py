@@ -105,11 +105,14 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None,
     """images [B, H, W, 3] (NHWC, normalized) -> tokens [B, 1+gh*gw, width].
 
     Cites decoder.py:846-857 for how GIT consumes the full token grid.
-    flash=True opts into the Pallas fused-attention kernel (inference
-    only).  Default is the XLA path: measured on v5e, XLA's attention
-    already runs the encoder at the chip's practical matmul roofline
-    (~23 TFLOPS delivered), and the Pallas kernel was ~15% slower at
-    GIT's T=257/Dh=64 shapes — see bench notes.
+    flash=True opts into the Pallas fused-attention kernel
+    (ops/flash_attention.py, inference only); default is the XLA path.
+    Measured on v5e: XLA wins at the 224px S=257 shape (0.3-0.5 vs
+    0.9 ms/layer); at the high-res S=1201 shape the KERNEL wins the
+    attention core (1.4-1.5 vs 2.1 ms/layer) but end-to-end high-res
+    VQA throughput measured a wash (73.9 vs 72.6 img/s — prefill and
+    the decode loop dominate at that shape), so the default stays XLA
+    everywhere rather than adding a shape-dependent numerics change.
     """
     if flash is None:
         flash = False

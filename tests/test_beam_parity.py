@@ -214,3 +214,59 @@ def test_blocked_topk_matches_iterative():
     v1, i1 = _top_k_iterative(x, 4)
     v2, i2 = _top_k_blocked(x, 4)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+@pytest.mark.parametrize("seed,beams,steps,keep,plen,batch", [
+    (2, 5, 6, 1, 2, 2),    # odd beam count
+    (3, 5, 11, 2, 2, 1),   # odd beams + n-best
+    (4, 3, 17, 2, 1, 2),   # beams=3, n-best, longer search
+    (9, 1, 17, 1, 4, 2),   # greedy-as-beam with a long prefix
+])
+def test_beam_parity_randomized(seed, beams, steps, keep, plen, batch):
+    """Randomized-config parity sweep vs the reference oracle (fresh
+    torch weights per seed; configs chosen to cover odd beam counts,
+    n-best heaps, and prefix lengths the fixed tests don't)."""
+    torch.manual_seed(seed)
+    head = ref_decoder.TransformerDecoderTextualHead(
+        visual_feature_size=64, vocab_size=128, hidden_size=48,
+        num_layers=2, attention_heads=4, feedforward_size=96,
+        max_caption_length=48, mask_future_positions=True, padding_idx=0,
+        decoder_type="bert_en", visual_projection_type="linearLn",
+    ).eval()
+    cfg = GitConfig(
+        encoder=ViTConfig(16, 64, 2, 2, 32), visual_feature_size=64,
+        vocab_size=128, hidden_size=48, num_layers=2, num_heads=4,
+        feedforward_size=96, max_caption_length=48,
+    )
+    params = convert_textual_state_dict(head.state_dict(), cfg, prefix="")
+    rng = np.random.RandomState(seed)
+    visual = rng.randn(batch, rng.randint(3, 9), 64).astype(np.float32) * 1.5
+    start = np.concatenate(
+        [np.full((batch, 1), SOS), rng.randint(3, 100, (batch, plen - 1))],
+        axis=1,
+    ).astype(np.int64)
+
+    ref_dec, ref_lp = reference_search(
+        head, visual, start, beams, steps, num_keep_best=keep
+    )
+    bcfg = BeamSearchConfig(
+        num_beams=beams, max_steps=steps, num_keep_best=keep, eos_id=EOS
+    )
+    logits, cache = prefill(
+        params, jnp.asarray(visual), jnp.asarray(start.astype(np.int32)),
+        cfg, steps,
+    )
+    dec, lp = beam_search(
+        lambda t, c: decode_step(params, t, c, cfg),
+        logits, cache, jnp.asarray(start.astype(np.int32)), bcfg,
+    )
+    dec, lp = np.asarray(dec), np.asarray(lp)
+    rd = ref_dec.numpy() if hasattr(ref_dec, "numpy") else np.asarray(ref_dec)
+    lpr = ref_lp.numpy() if hasattr(ref_lp, "numpy") else np.asarray(ref_lp)
+    if rd.ndim == 2:  # the reference squeezes num_keep_best == 1
+        rd, lpr = rd[:, None], lpr[:, :1]
+    n = min(dec.shape[2], rd.shape[2])
+    np.testing.assert_array_equal(dec[:, : rd.shape[1], :n], rd[:, :, :n])
+    np.testing.assert_allclose(
+        lp[:, : lpr.shape[1]], lpr, rtol=1e-3, atol=1e-3
+    )

@@ -133,3 +133,65 @@ def test_trie_parity_vs_reference():
     assert got_tokens[: len(ref_tokens)] == ref_tokens
     assert all(t == EOS for t in got_tokens[len(ref_tokens):])
     np.testing.assert_allclose(float(lp[0]), float(ref_lp[0]), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [3, 7, 9])
+def test_trie_parity_randomized(seed):
+    """Randomized vocab tries (3-10 sequences, lengths 1-4) vs the
+    reference oracle — token-exact and score-close; complements the
+    fixed-vocab parity test.  (A wider 10-config fuzz also ran clean.)"""
+    torch = pytest.importorskip("torch")
+
+    from reference_compat import import_reference_modules
+
+    import_reference_modules()
+    from generativeimage2text import trie_decoder as ref_trie
+    from generativeimage2text.layers import decoder as ref_decoder
+
+    from gitax.ckpt.torch_convert import convert_textual_state_dict
+
+    torch.manual_seed(100 + seed)
+    head = ref_decoder.TransformerDecoderTextualHead(
+        visual_feature_size=64, vocab_size=128, hidden_size=48,
+        num_layers=2, attention_heads=4, feedforward_size=96,
+        max_caption_length=32, mask_future_positions=True, padding_idx=0,
+        decoder_type="bert_en", visual_projection_type="linearLn",
+    ).eval()
+    params = convert_textual_state_dict(head.state_dict(), CFG, prefix="")
+    rng = np.random.RandomState(seed)
+    visual = rng.randn(1, rng.randint(3, 8), 64).astype(np.float32)
+    seqs = [
+        [int(t) for t in rng.randint(5, 100, rng.randint(1, 5))] + [EOS]
+        for _ in range(rng.randint(3, 11))
+    ]
+    steps = int(rng.choice([6, 8, 12]))
+
+    ref_t = ref_trie.TokenTrie.construct(seqs)
+    searcher = ref_trie.TrieAutoRegressiveBeamSearch(
+        eos_index=EOS, max_steps=steps, beam_size=1, trie=ref_t
+    )
+    tvis = torch.from_numpy(visual)
+
+    def ref_step(input_ids):
+        with torch.no_grad():
+            return head(tvis, input_ids)[:, -1, :].float()
+
+    ref_pred, ref_lp = searcher.search(
+        torch.full((1, 1), SOS, dtype=torch.long), ref_step
+    )
+
+    trie = TokenTrie.construct(seqs)
+    logits, cache = prefill(
+        params, jnp.asarray(visual), jnp.full((1, 1), SOS, jnp.int32), CFG, steps
+    )
+    out, lp = trie_greedy_search(
+        lambda t, c: decode_step(params, t, c, CFG),
+        logits, cache, jnp.full((1, 1), SOS, jnp.int32), trie, steps, EOS,
+    )
+    ref_tokens = ref_pred[0].tolist()
+    got = np.asarray(out)[0].tolist()
+    assert got[: len(ref_tokens)] == ref_tokens
+    assert all(t == EOS for t in got[len(ref_tokens):])
+    np.testing.assert_allclose(
+        float(lp[0]), float(ref_lp[0]), rtol=1e-4, atol=1e-4
+    )

@@ -48,6 +48,10 @@ class LocalBackend(object):
         os.replace(src, dst)
 
     @staticmethod
+    def remove(path):
+        os.remove(path)
+
+    @staticmethod
     def prepare(path):
         """Materialize `path` locally and return the local path (remote
         backends download-to-cache here, like azfuse File.prepare;
@@ -86,6 +90,14 @@ def makedirs(path):
 
 def replace(src, dst):
     return _backend.replace(src, dst)
+
+
+def remove(path):
+    # default for custom backends that predate this method: best effort
+    fn = getattr(_backend, "remove", None)
+    if fn is None:
+        return os.remove(path)
+    return fn(path)
 
 
 def prepare(path):

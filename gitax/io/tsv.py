@@ -154,9 +154,14 @@ def concat_tsv_files(tsvs, out_tsv):
     renames publish the offset tables BEFORE the data file — consumers
     poll for the data file's existence (the reference's file barrier,
     inference.py:214-225), so it must appear last and never be visible
-    half-written or paired with stale indices from a previous run."""
+    half-written.  A STALE data file from a previous run at the same
+    path is removed up front: with it present, the barrier contract is
+    already broken and any rename order would let a poller pair old
+    data with new offsets."""
     if len(tsvs) == 1 and tsvs[0] == out_tsv:
         return
+    if fileio.isfile(out_tsv):
+        fileio.remove(out_tsv)
     sizes = [fileio.getsize(t) for t in tsvs]
     starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
     with fileio.open_file(out_tsv + ".tmp", "wb") as fp_out:

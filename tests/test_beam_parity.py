@@ -265,8 +265,12 @@ def test_beam_parity_randomized(seed, beams, steps, keep, plen, batch):
     lpr = ref_lp.numpy() if hasattr(ref_lp, "numpy") else np.asarray(ref_lp)
     if rd.ndim == 2:  # the reference squeezes num_keep_best == 1
         rd, lpr = rd[:, None], lpr[:, :1]
-    n = min(dec.shape[2], rd.shape[2])
-    np.testing.assert_array_equal(dec[:, : rd.shape[1], :n], rd[:, :, :n])
+    # compare the reference's FULL output (no silent tail skip) and
+    # require gitax's extra buffer columns, if any, to be EOS padding
+    n = rd.shape[2]
+    assert dec.shape[2] >= n, (dec.shape, rd.shape)
+    np.testing.assert_array_equal(dec[:, : rd.shape[1], :n], rd)
+    assert (dec[:, : rd.shape[1], n:] == EOS).all()
     np.testing.assert_allclose(
         lp[:, : lpr.shape[1]], lpr, rtol=1e-3, atol=1e-3
     )

@@ -129,8 +129,6 @@ def test_strict_refuses_unpinned_path(tmp_path):
     basename matches no published pin (torchscript archives are pickle
     containers; silent unverified loads are the failure mode the strict
     mode exists to prevent)."""
-    import pytest
-
     from gitax.ckpt.clip_archive import load_clip_archive
 
     path = tmp_path / "mystery_model.pt"

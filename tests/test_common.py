@@ -94,8 +94,6 @@ def test_mpi_rank_env_surface(monkeypatch):
 
 
 def test_distributed_initialize_requires_rank_with_world(monkeypatch):
-    import pytest
-
     from gitax.runtime.distributed import initialize
 
     for var in ("RANK", "WORLD_SIZE", "OMPI_COMM_WORLD_RANK",

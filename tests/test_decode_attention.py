@@ -37,33 +37,44 @@ def _xla_reference(q, kn, vn, kv, anc, pos, mem_k, mem_v, mem_bias, B, K, H, Dh,
     return (ctx_m + ctx_t).reshape(B * K, H * Dh), kv_upd
 
 
-@pytest.mark.parametrize("B,K", [(4, 4), (4, 2), (8, 1), (2, 8)])
-def test_kernel_matches_xla_formulation(B, K):
-    H, Dh, M, T = 2, 64, 17, 9
+
+def _make_inputs(B, K, seed, H=2, Dh=64, M=17, T=9):
+    """Shared random kernel inputs: raw tensors plus the packed layouts
+    decode_attention consumes (one home — the plain and int8 tests must
+    stay shape-synchronized)."""
     BK = B * K
-    rng = np.random.RandomState(B * 10 + K)
+    rng = np.random.RandomState(seed)
     dt = jnp.float32
     q = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
     kn = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
     vn = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
-    pos = 5
     kv = jnp.asarray(rng.randn(T, BK, H * 2 * Dh), dt) * 0.3
     anc = jnp.asarray(rng.randint(0, K, (BK, T)), jnp.int32)
     mem_k = jnp.asarray(rng.randn(B, H, M, Dh), dt) * 0.3
     mem_v = jnp.asarray(rng.randn(B, H, M, Dh), dt) * 0.3
     mem_bias = jnp.asarray(rng.randn(B, M), jnp.float32)
-
     qz = jnp.concatenate([q, jnp.zeros_like(q)], -1).reshape(BK, H * 2 * Dh)
     kvn = jnp.concatenate([kn, vn], -1).reshape(BK, H * 2 * Dh)
     mem_kv = jnp.concatenate([mem_k, mem_v], -1)
+    return dict(q=q, kn=kn, vn=vn, kv=kv, anc=anc, mem_k=mem_k, mem_v=mem_v,
+                mem_bias=mem_bias, qz=qz, kvn=kvn, mem_kv=mem_kv,
+                B=B, K=K, BK=BK, H=H, Dh=Dh, M=M, T=T)
+
+
+@pytest.mark.parametrize("B,K", [(4, 4), (4, 2), (8, 1), (2, 8)])
+def test_kernel_matches_xla_formulation(B, K):
+    i = _make_inputs(B, K, seed=B * 10 + K)
+    pos = 5
+    BK, H, Dh = i["BK"], i["H"], i["Dh"]
 
     ctx128, kv_new = decode_attention(
-        qz, kvn, kv, anc, pos, mem_kv, mem_bias,
+        i["qz"], i["kvn"], i["kv"], i["anc"], pos, i["mem_kv"], i["mem_bias"],
         beams=K, num_heads=H, head_dim=Dh, interpret=True,
     )
     ctx = ctx128.reshape(BK, H, 2 * Dh)[..., Dh:].reshape(BK, H * Dh)
     ctx_ref, kv_ref = _xla_reference(
-        q, kn, vn, kv, anc, pos, mem_k, mem_v, mem_bias, B, K, H, Dh, M, T
+        i["q"], i["kn"], i["vn"], i["kv"], i["anc"], pos, i["mem_k"],
+        i["mem_v"], i["mem_bias"], B, K, H, Dh, i["M"], i["T"]
     )
     np.testing.assert_allclose(
         np.asarray(ctx), np.asarray(ctx_ref), atol=3e-6, rtol=1e-5
@@ -119,27 +130,14 @@ def test_kernel_int8_memory_matches_dequantized_reference():
     from gitax.ops.decode_attention import quantize_memory
 
     B, K = 4, 4
-    H, Dh, M, T = 2, 64, 17, 9
-    BK = B * K
-    rng = np.random.RandomState(7)
-    dt = jnp.float32
-    q = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
-    kn = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
-    vn = jnp.asarray(rng.randn(BK, H, Dh), dt) * 0.3
+    i = _make_inputs(B, K, seed=7)
     pos = 5
-    kv = jnp.asarray(rng.randn(T, BK, H * 2 * Dh), dt) * 0.3
-    anc = jnp.asarray(rng.randint(0, K, (BK, T)), jnp.int32)
-    mem_k = jnp.asarray(rng.randn(B, H, M, Dh), dt) * 0.3
-    mem_v = jnp.asarray(rng.randn(B, H, M, Dh), dt) * 0.3
-    mem_bias = jnp.asarray(rng.randn(B, M), jnp.float32)
-
-    qz = jnp.concatenate([q, jnp.zeros_like(q)], -1).reshape(BK, H * 2 * Dh)
-    kvn = jnp.concatenate([kn, vn], -1).reshape(BK, H * 2 * Dh)
-    mem_kv = jnp.concatenate([mem_k, mem_v], -1)
-    mem_q8, mem_scale = quantize_memory(mem_kv)
+    BK, H, Dh, M, T = i["BK"], i["H"], i["Dh"], i["M"], i["T"]
+    mem_q8, mem_scale = quantize_memory(i["mem_kv"])
 
     ctx128, kv_new = decode_attention(
-        qz, kvn, kv, anc, pos, mem_q8, mem_bias, mem_scale,
+        i["qz"], i["kvn"], i["kv"], i["anc"], pos, mem_q8, i["mem_bias"],
+        mem_scale,
         beams=K, num_heads=H, head_dim=Dh, interpret=True,
     )
     ctx = ctx128.reshape(BK, H, 2 * Dh)[..., Dh:].reshape(BK, H * Dh)
@@ -151,8 +149,8 @@ def test_kernel_int8_memory_matches_dequantized_reference():
     )  # [B, H, 2Dh]
     deq = mem_q8.astype(jnp.float32) * scl[:, :, None, :]
     ctx_ref, kv_ref = _xla_reference(
-        q, kn, vn, kv, anc, pos, deq[..., :Dh], deq[..., Dh:],
-        mem_bias, B, K, H, Dh, M, T,
+        i["q"], i["kn"], i["vn"], i["kv"], i["anc"], pos,
+        deq[..., :Dh], deq[..., Dh:], i["mem_bias"], B, K, H, Dh, M, T,
     )
     np.testing.assert_allclose(
         np.asarray(ctx), np.asarray(ctx_ref), atol=1e-5, rtol=1e-4
@@ -160,7 +158,8 @@ def test_kernel_int8_memory_matches_dequantized_reference():
     np.testing.assert_array_equal(np.asarray(kv_new), np.asarray(kv_ref))
     # and the quantization error itself is small
     np.testing.assert_allclose(
-        np.asarray(deq), np.asarray(mem_kv), atol=2 * float(mem_scale.max())
+        np.asarray(deq), np.asarray(i["mem_kv"]),
+        atol=2 * float(mem_scale.max()),
     )
 
 

@@ -70,8 +70,6 @@ def test_vit_forward_flash_flag_matches():
     branch routes through flash_qkv_attention)."""
     from gitax.models.config import ViTConfig
     from gitax.models.vit import init_vit_params, vit_forward
-    import gitax.ops.flash_attention as fa
-    import gitax.models.nn as nnmod
 
     cfg = ViTConfig(16, 64, 2, 2, 32)
     params = init_vit_params(jax.random.PRNGKey(0), cfg)

@@ -388,7 +388,29 @@ def test_run_finetune_mesh_zero1(tmp_path):
         tokenizer=tok, warmup_steps=1, mesh=mesh, log_every=1,
         save_dir=save_dir, save_every=2,
     )
-    mu_after_2 = jax.tree_util.tree_leaves(state.opt_state)
+    saved_opt_leaves = [
+        np.asarray(x) for x in jax.tree_util.tree_leaves(state.opt_state)
+    ]
+    # the restore+shard path itself must carry the SAVED moments through
+    # (the regression this guards: re-initializing via tx.init on resume)
+    import optax
+
+    from gitax.ckpt.serialization import restore_train_state
+    from gitax.parallel import shard_params, zero1_shard_opt_state
+    from gitax.training.trainer import default_optimizer, init_train_state
+
+    tx2 = default_optimizer(learning_rate=1e-5, warmup_steps=1, total_steps=4)
+    template = init_train_state(model, jax.random.PRNGKey(0), tx2)
+    restored = restore_train_state(save_dir, template, step=2)
+    resharded = zero1_shard_opt_state(
+        restored.opt_state, shard_params(restored.params, mesh), mesh
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(resharded), saved_opt_leaves
+    ):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-6, atol=1e-8)
+    assert any(np.abs(b).max() > 0 for b in saved_opt_leaves)
+
     state = run_finetune(
         img_tsv, cap_tsv, model, num_steps=4, batch_size=8,
         multi_scale=False, train_crop_size=32, dtype=jnp.float32,
@@ -403,6 +425,11 @@ def test_run_finetune_mesh_zero1(tmp_path):
     ]
     # the schedule/moment step count continued from the restored step
     assert any(c == 4 for c in counts), counts
+    # and the resumed run's optimizer state is ZeRO-1 sharded again
+    assert any(
+        hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(state.opt_state)
+    )
 
 
 def test_finetune_with_validation(tmp_path, caplog):
@@ -512,7 +539,7 @@ def test_fast_softmax_train_step_close():
     )
     bbf = dict(batch)
     bbf["image"] = batch["image"].astype(jnp.bfloat16)
-    state2, m_bf = step_bf(state, bbf)
+    _, m_bf = step_bf(state, bbf)
     assert np.isfinite(float(m_bf["loss"]))
     assert abs(float(m_bf["loss"]) - float(m_ref["loss"])) < 0.1
 

@@ -153,8 +153,19 @@ def test_concat_tsv_files_is_atomic(tmp_path, monkeypatch):
         events.append(dst)
         return orig_replace(src, dst)
 
+    removed = []
+    orig_remove = fileio.remove
+
+    def spy_remove(path):
+        removed.append(path)
+        return orig_remove(path)
+
     monkeypatch.setattr(fileio, "replace", spy_replace)
+    monkeypatch.setattr(fileio, "remove", spy_remove)
     concat_tsv_files([a, b_], out)
+    # the stale data file is removed BEFORE anything is published (with
+    # it present, a poller could pair old data with new offsets)
+    assert removed == [out]
     # data file rename is LAST (it is the barrier signal)
     assert events[-1] == out
     base = out[: -len(".tsv")]

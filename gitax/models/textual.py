@@ -17,9 +17,10 @@ Unlike the reference — whose incremental path re-feeds the growing
 sequence and concatenates per-layer history tensors on the host
 (decoder.py:1045-1053) — decoding here uses a static-shape KV cache:
 memory K/V are computed once at prefill (legal because image tokens
-never attend to text), and text K/V live in fixed per-layer
-[B, H, T_max, 2*Dh] buffers (K/V interleaved) updated with one
-dynamic_update_slice per layer inside the jit'd decode loop.
+never attend to text), and text K/V live in fixed per-layer TIME-MAJOR
+[T_max, B, H*2*Dh] buffers (K/V interleaved per head on the lane axis;
+see the KVCache docstring) updated with one dynamic_update_slice per
+layer inside the jit'd decode loop.
 """
 
 from __future__ import annotations
@@ -413,8 +414,9 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     int8-quantized (quantization-noise-level differences).
 
     Memory K/V are stored ONCE per batch element ([B, H, M, Dh] per
-    layer) while text K/V carry the full beam axis ([B*beams, H, T, Dh]
-    per layer); attention scores against memory broadcast over beams
+    layer) while text K/V carry the full beam axis (time-major
+    [T_max, B*beams, H*2Dh] per layer); attention scores against memory
+    broadcast over beams
     instead of materializing beam-tiled (or concatenated) K/V — on TPU
     this cuts the dominant HBM traffic of the decode loop ~4x for beam-4
     (memory K/V for ViT-L is ~300 MB/step if tiled).
@@ -466,16 +468,40 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     else:
         anc_onehot = None
 
-    if use_kernel:
-        from ..ops.decode_attention import decode_attention
-
-        assert cache.mem_kv is not None, (
-            "decode_step(kernel=True) needs prefill(kernel_memory=True)"
+    def run_layers(layer, *streams):
+        """Shared unrolled-layer scaffold + epilogue for both decode
+        paths (one home, like _attn_tail — the two paths must not
+        drift)."""
+        x_cur = x
+        new_txt_kv = []
+        for li in range(cache.num_layers):
+            bp = jax.tree_util.tree_map(lambda a: a[li], params["blocks"])
+            x_cur, tkv = layer(x_cur, bp, *[s[li] for s in streams])
+            new_txt_kv.append(tkv)
+        logits = output_logits(params, x_cur[:, 0])
+        return logits, cache._replace(
+            txt_kv=tuple(new_txt_kv), length=pos + 1
         )
+
+    if use_kernel:
+        from ..ops.decode_attention import (
+            build_live_mask,
+            decode_attention,
+            plan_cells,
+        )
+
         if mem_bias is not None:
             kernel_bias = mem_bias  # [B, M] f32
         else:
             kernel_bias = jnp.zeros((b, m), jnp.float32)
+        # liveness mask computed ONCE per step, shared by every layer's
+        # kernel call (structural sharing, not optimizer-dependent CSE)
+        _, r, _ = plan_cells(
+            b, beams, h, dh, m, t_max,
+            mem_itemsize=cache.mem_kv[0].dtype.itemsize,
+            act_itemsize=jnp.dtype(dtype).itemsize,
+        )
+        live = build_live_mask(cache.anc, pos, r, t_max, beams)
 
         def layer(xcur, bp, mem_kv, mem_scale, txt_kv):
             q, k_new, v_new = qkv_project(xcur, bp["attn"], cfg.num_heads)
@@ -491,6 +517,7 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
                 mem_kv,
                 kernel_bias,
                 mem_scale,
+                live,
                 beams=beams,
                 num_heads=h,
                 head_dim=dh,
@@ -500,20 +527,14 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
             )
             return _attn_tail(xcur, ctx, bp, cfg), txt_kv
 
-        n = cache.num_layers
-        new_txt_kv = []
-        x_cur = x
-        for li in range(n):
-            bp = jax.tree_util.tree_map(lambda a: a[li], params["blocks"])
-            x_cur, tkv = layer(
-                x_cur, bp, cache.mem_kv[li],
-                cache.mem_scale[li] if cache.mem_scale is not None else None,
-                cache.txt_kv[li],
-            )
-            new_txt_kv.append(tkv)
-        logits = output_logits(params, x_cur[:, 0])
-        new_cache = cache._replace(txt_kv=tuple(new_txt_kv), length=pos + 1)
-        return logits, new_cache
+        return run_layers(
+            layer,
+            cache.mem_kv,
+            cache.mem_scale
+            if cache.mem_scale is not None
+            else (None,) * cache.num_layers,
+            cache.txt_kv,
+        )
 
     def layer(xcur, bp, mem_k, mem_v, txt_kv):
         q, k_new, v_new = qkv_project(xcur, bp["attn"], cfg.num_heads)
@@ -572,14 +593,4 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
         ctx = (ctx_mem + ctx_txt).reshape(bk, 1, h * dh)
         return _attn_tail(xcur, ctx, bp, cfg), txt_kv
 
-    n = cache.num_layers
-    new_txt_kv = []
-    for li in range(n):
-        bp = jax.tree_util.tree_map(lambda a: a[li], params["blocks"])
-        x, tkv = layer(
-            x, bp, cache.mem_k[li], cache.mem_v[li], cache.txt_kv[li]
-        )
-        new_txt_kv.append(tkv)
-    logits = output_logits(params, x[:, 0])
-    new_cache = cache._replace(txt_kv=tuple(new_txt_kv), length=pos + 1)
-    return logits, new_cache
+    return run_layers(layer, cache.mem_k, cache.mem_v, cache.txt_kv)

@@ -29,12 +29,14 @@ mitigations live here:
 
   * `mem_kv` may arrive INT8 with per-(batch, head, k|v) scales
     (quantized once at prefill; see textual.prefill(kernel_memory=
-    'int8')) — halves the dominant stream.  MEASURED NEGATIVE on v5e
-    (512 -> 503 img/s even with dequant-once-per-head): the in-kernel
-    int8->bf16 convert+scale costs more than the DMA it saves at this
-    chip's bandwidth/VPU ratio, so the mode is opt-in for
-    bandwidth-poorer parts, not a default.  (Token output matched the
-    bf16-memory path exactly in the on-chip run.)
+    'int8')) — halves the dominant stream.  Measured NEUTRAL on v5e
+    (512.1 vs 512.7 img/s with dequant-once-per-head and the phantom
+    score-staging scratch removed from the int8 VMEM budget, which lets
+    int8 cells widen further): the in-kernel int8->bf16 convert+scale
+    costs back roughly the DMA it saves at this chip's bandwidth/VPU
+    ratio, so the mode stays opt-in — it pays on bandwidth-poorer
+    parts.  (Token output matched the bf16-memory path exactly in the
+    on-chip runs.)
 
 Mosaic-friendly layout tricks:
 
@@ -81,7 +83,9 @@ def _cell_vmem_bytes(g, beams, h, dh, m, t_max, mem_itemsize, act_itemsize):
     qkl_blocks = r * lanes * act_itemsize * 3  # qz, kvn, ctx
     live_block = r * t_max * r  # int8
     kv_scr = t_max * r * lanes * act_itemsize
-    mem_s_scr = h * r * g * m * 4
+    # memory-score staging scratch exists only in the bf16-memory mode
+    # (mem_itemsize 1 == int8: scores computed in phase 2, no staging)
+    mem_s_scr = 0 if mem_itemsize == 1 else h * r * g * m * 4
     # input/output blocks are double-buffered across grid cells
     return 2 * (mem_block + qkl_blocks + live_block) + kv_scr + mem_s_scr
 
@@ -97,11 +101,8 @@ def _kernel(
     kv_hbm,  # [T, BK, H*2Dh] in HBM (aliased in/out) — full array
     ctx_ref,  # out: [1, R, H*2Dh] (v lanes carry the context)
     kv_out,  # out: alias of kv_hbm
-    kv_scr,  # scratch: [T, R, H*2Dh]
-    row_scr,  # scratch: [1, R, H*2Dh]
-    mem_s_scr,  # scratch: [H, R, G*M] f32 — memory scores staging
-    sems,  # DMA semaphores (2,)
-    *,
+    *scratch,  # kv_scr [T,R,H*2Dh], row_scr [1,R,H*2Dh],
+    #           (bf16 mode only) mem_s_scr [H,R,G*M] f32, DMA sems (2,)
     beams: int,
     groups: int,
     num_heads: int,
@@ -109,6 +110,11 @@ def _kernel(
     t_max: int,
     mem_int8: bool,
 ):
+    if mem_int8:
+        kv_scr, row_scr, sems = scratch
+        mem_s_scr = None
+    else:
+        kv_scr, row_scr, mem_s_scr, sems = scratch
     cell = pl.program_id(0)
     pos = pos_ref[0]
     h, dh = num_heads, head_dim
@@ -266,6 +272,45 @@ def kernel_fits(
     )
 
 
+def plan_cells(batch, beams, num_heads, head_dim, num_memory, t_max,
+               mem_itemsize=2, act_itemsize=2):
+    """(groups, rows, cells) the kernel will use: the base 8-aligned
+    beam-group count, widened (up to 32 rows) where divisibility and the
+    VMEM budget allow — fewer, larger cells amortize per-cell DMA
+    latency."""
+    import math
+
+    g = 8 // math.gcd(beams, 8)  # beam groups per cell (DMA alignment)
+    assert batch % g == 0, (batch, beams, g)
+    while (
+        g * beams < 32
+        and batch % (2 * g) == 0
+        and _cell_vmem_bytes(
+            2 * g, beams, num_heads, head_dim, num_memory, t_max,
+            mem_itemsize, act_itemsize,
+        )
+        <= _VMEM_BUDGET
+    ):
+        g *= 2
+    return g, g * beams, batch // g
+
+
+def build_live_mask(anc, pos, rows, t_max, beams):
+    """Flat (t, j) liveness over each CELL's rows: slot t*R + j is live
+    for row k iff t <= pos and the ancestry selects row j (cell-local
+    index = group offset + local ancestry); cross-group slots are never
+    live.  ONE tiny XLA fusion per STEP — decode_step computes this once
+    and passes it to every layer's kernel call (recomputing per layer
+    would rely on XLA CSE across inlined calls)."""
+    bk = anc.shape[0]
+    gi = (jnp.arange(bk, dtype=anc.dtype) % rows) // beams  # group in cell
+    anc_cell = anc + (gi * beams)[:, None]
+    return (
+        (anc_cell[:, :, None] == jnp.arange(rows, dtype=anc.dtype)[None, None, :])
+        & (jnp.arange(t_max)[None, :, None] <= pos)
+    ).reshape(bk, t_max * rows).astype(jnp.int8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("beams", "num_heads", "head_dim", "interpret"),
@@ -279,6 +324,7 @@ def decode_attention(
     mem_kv,  # [B, H, M, 2Dh] interleaved memory k|v (bf16/f32 or int8)
     mem_bias,  # [B, M] f32 (zeros when no memory padding)
     mem_scale=None,  # [B, H, 2] f32 per-(batch, head) k|v scales (int8)
+    live=None,  # [BK, T*R] int8 from build_live_mask (computed if None)
     *,
     beams: int,
     num_heads: int,
@@ -287,40 +333,20 @@ def decode_attention(
 ):
     """Fused decode attention; returns (ctx128 [BK, H*2Dh] — context in
     the v lanes of each head pair — and txt_kv updated in place)."""
-    import math
-
     t_max, bk, _ = txt_kv.shape
     b = bk // beams
     h, dh = num_heads, head_dim
     m = mem_kv.shape[2]
     mem_int8 = mem_kv.dtype == jnp.int8
     assert not mem_int8 or mem_scale is not None
-    g = 8 // math.gcd(beams, 8)  # beam groups per cell (DMA alignment)
-    assert b % g == 0, (b, beams, g)
-    # widen cells (up to 32 rows) where divisibility and the VMEM budget
-    # allow: fewer, larger cells amortize per-cell DMA latency
     mem_isz = 1 if mem_int8 else mem_kv.dtype.itemsize
-    act_isz = qz.dtype.itemsize
-    while (
-        g * beams < 32
-        and b % (2 * g) == 0
-        and _cell_vmem_bytes(2 * g, beams, h, dh, m, t_max, mem_isz, act_isz)
-        <= _VMEM_BUDGET
-    ):
-        g *= 2
-    cells = b // g
-    r = g * beams  # rows per cell
+    g, r, cells = plan_cells(
+        b, beams, h, dh, m, t_max, mem_isz, qz.dtype.itemsize
+    )
 
-    # flat (t, j) liveness over the CELL's rows: slot t*R + j is live for
-    # row k iff t <= pos and the ancestry selects row j (cell-local index
-    # = group offset + local ancestry).  One tiny XLA fusion per step,
-    # shared by every layer's kernel; cross-group slots are never live.
-    gi = (jnp.arange(bk, dtype=anc.dtype) % r) // beams  # group within cell
-    anc_cell = anc + (gi * beams)[:, None]
-    live = (
-        (anc_cell[:, :, None] == jnp.arange(r, dtype=anc.dtype)[None, None, :])
-        & (jnp.arange(t_max)[None, :, None] <= pos)
-    ).reshape(bk, t_max * r).astype(jnp.int8)
+    if live is None:
+        live = build_live_mask(anc, pos, r, t_max, beams)
+    assert live.shape == (bk, t_max * r), (live.shape, bk, t_max, r)
 
     if mem_scale is None:
         scale_flat = jnp.ones((b * h * 2,), jnp.float32)
@@ -347,9 +373,17 @@ def decode_attention(
         scratch_shapes=[
             pltpu.VMEM((t_max, r, h * 2 * dh), txt_kv.dtype),
             pltpu.VMEM((1, r, h * 2 * dh), txt_kv.dtype),
-            pltpu.VMEM((h, r, g * m), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+        + (
+            # memory-score staging exists only in the bf16-memory mode
+            # (int8 computes the scores in phase 2 where the dequantized
+            # block is built once) — allocating it anyway would charge
+            # phantom VMEM against exactly the mode meant for tight parts
+            []
+            if mem_int8
+            else [pltpu.VMEM((h, r, g * m), jnp.float32)]
+        )
+        + [pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = functools.partial(
         _kernel,

@@ -105,9 +105,9 @@ class CaptionEngine(object):
         # fused Pallas decode-step attention (ops/decode_attention.py):
         # auto-on for real TPU backends, token-exact with the XLA path.
         # (decode_kernel='int8' additionally quantizes the prefill
-        # memory K/V — measured NEGATIVE on v5e, the in-kernel
-        # dequantize costs more than the halved DMA; available for
-        # bandwidth-poorer parts.)
+        # memory K/V — measured neutral on v5e, the in-kernel dequant
+        # costs back the halved DMA; available for bandwidth-poorer
+        # parts.)
         if decode_kernel is None:
             from ..ops.flash_attention import use_pallas
 

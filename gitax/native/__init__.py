@@ -95,6 +95,29 @@ def decode_resize_crop_batch(payloads, crop_size, is_base64=True, threads=None,
     return arr, np.asarray(ok, bool)
 
 
+def decode_minmax_batch(payloads, min_size, max_size, is_base64=True,
+                        threads=None, fast_scale=True):
+    """payloads: list[bytes] -> list[uint8 HWC array | None] at each
+    image's own MinMax target size (gitax.preprocess.min_max_resize_size
+    semantics; aspect-preserving, no crop) — the high-res VQA family's
+    transform, which the fixed-size batch entry cannot serve."""
+    mod = _load()
+    assert mod is not None, "native loader not available"
+    threads = threads or min(16, os.cpu_count() or 4)
+    rows = mod.decode_minmax_batch(
+        list(payloads), int(min_size), int(max_size), bool(is_base64),
+        int(threads), bool(fast_scale),
+    )
+    out = []
+    for row in rows:
+        if row is None:
+            out.append(None)
+        else:
+            buf, h, w = row
+            out.append(np.frombuffer(buf, np.uint8).reshape(h, w, 3))
+    return out
+
+
 def b64_decode(payload: bytes):
     mod = _load()
     assert mod is not None

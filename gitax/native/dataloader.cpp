@@ -73,7 +73,8 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 
 bool decode_jpeg_rgb(const unsigned char* data, size_t len,
                      std::vector<unsigned char>* rgb, int* w, int* h,
-                     int min_short_side = 0) {
+                     int min_short_side = 0, int* orig_w = nullptr,
+                     int* orig_h = nullptr) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -89,6 +90,8 @@ bool decode_jpeg_rgb(const unsigned char* data, size_t len,
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  if (orig_w) *orig_w = (int)cinfo.image_width;
+  if (orig_h) *orig_h = (int)cinfo.image_height;
   if (min_short_side > 0) {
     // decode directly at reduced scale (libjpeg supports denom 1/2/4/8):
     // pick the largest reduction whose short side still covers the
@@ -238,6 +241,76 @@ bool process_one(const unsigned char* data, size_t len, bool is_b64, int size,
   return true;
 }
 
+// target (oh, ow) of gitax.preprocess.min_max_resize_size (the
+// reference's MinMaxResizeForTest sizing, inference.py:34-54), computed
+// from the ORIGINAL image dims.  Python's round() is banker's rounding
+// -> nearbyint; `int(size * h / w)` truncates -> C cast.
+void minmax_target(int w, int h, int min_size, int max_size, int* oh,
+                   int* ow) {
+  int size = min_size;
+  double min_orig = (double)(w < h ? w : h);
+  double max_orig = (double)(w < h ? h : w);
+  if (max_orig / min_orig * size > (double)max_size)
+    size = (int)std::nearbyint((double)max_size * min_orig / max_orig);
+  if ((w <= h && w == size) || (h <= w && h == size)) {
+    *oh = h;
+    *ow = w;
+    return;
+  }
+  if (w < h) {
+    *oh = (int)((double)size * h / w);
+    *ow = size;
+  } else {
+    *oh = size;
+    *ow = (int)((double)size * w / h);
+  }
+}
+
+// full chain for one MinMax image: jpeg/base64 -> aspect-preserving
+// resize to the MinMax target (NO crop) -> uint8 RGB, ragged output
+bool process_one_minmax(const unsigned char* data, size_t len, bool is_b64,
+                        int min_size, int max_size, bool fast_scale,
+                        std::vector<unsigned char>* out, int* out_h,
+                        int* out_w) {
+  std::vector<unsigned char> jpeg_buf;
+  if (is_b64) {
+    if (!base64_decode(data, len, &jpeg_buf)) return false;
+    data = jpeg_buf.data();
+    len = jpeg_buf.size();
+  }
+  std::vector<unsigned char> rgb;
+  int w, h, orig_w, orig_h;
+  // the short side only ever shrinks to <= min_size, so min_size is a
+  // safe reduced-IDCT floor; the TARGET is computed from the ORIGINAL
+  // dims (reduced dims are ceil-divided and would drift the ratio)
+  if (!decode_jpeg_rgb(data, len, &rgb, &w, &h, fast_scale ? min_size : 0,
+                       &orig_w, &orig_h))
+    return false;
+  int oh, ow;
+  minmax_target(orig_w, orig_h, min_size, max_size, &oh, &ow);
+  *out_h = oh;
+  *out_w = ow;
+
+  std::vector<float> f0(rgb.size());
+  for (size_t i = 0; i < rgb.size(); i++) f0[i] = rgb[i];
+  std::vector<float> f1((size_t)h * ow * 3);
+  resample_axis(f0.data(), h, w, f1.data(), ow);
+  std::vector<float> f1t((size_t)ow * h * 3);
+  transpose_rgb(f1.data(), h, ow, f1t.data());
+  std::vector<float> f2((size_t)ow * oh * 3);
+  resample_axis(f1t.data(), ow, h, f2.data(), oh);
+  std::vector<float> img((size_t)oh * ow * 3);
+  transpose_rgb(f2.data(), ow, oh, img.data());
+
+  out->resize((size_t)oh * ow * 3);
+  for (size_t i = 0; i < out->size(); i++) {
+    float v = img[i];
+    v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+    (*out)[i] = (unsigned char)std::lround(v);
+  }
+  return true;
+}
+
 // ------------------------------------------------------------- py module
 // decode_resize_crop_batch(payloads: list[bytes], size: int,
 //                          is_base64: bool, threads: int)
@@ -294,6 +367,67 @@ PyObject* decode_resize_crop_batch(PyObject*, PyObject* args) {
   return result;
 }
 
+// decode_minmax_batch(payloads, min_size, max_size, is_base64, threads,
+//                     fast_scale) -> list[(bytes, h, w) | None]
+// Ragged outputs: each image resizes to its own MinMax target.
+PyObject* decode_minmax_batch(PyObject*, PyObject* args) {
+  PyObject* payloads;
+  int min_size, max_size, is_b64, threads, fast_scale;
+  if (!PyArg_ParseTuple(args, "Oiipip", &payloads, &min_size, &max_size,
+                        &is_b64, &threads, &fast_scale))
+    return nullptr;
+  if (!PyList_Check(payloads)) {
+    PyErr_SetString(PyExc_TypeError, "payloads must be a list of bytes");
+    return nullptr;
+  }
+  Py_ssize_t n = PyList_Size(payloads);
+  std::vector<const unsigned char*> datas(n);
+  std::vector<size_t> lens(n);
+  for (Py_ssize_t i = 0; i < n; i++) {
+    PyObject* item = PyList_GetItem(payloads, i);
+    char* buf;
+    Py_ssize_t blen;
+    if (PyBytes_AsStringAndSize(item, &buf, &blen) < 0) return nullptr;
+    datas[i] = reinterpret_cast<unsigned char*>(buf);
+    lens[i] = (size_t)blen;
+  }
+  std::vector<std::vector<unsigned char>> outs(n);
+  std::vector<int> hs(n, 0), ws(n, 0);
+  std::vector<unsigned char> ok(n, 0);
+
+  Py_BEGIN_ALLOW_THREADS;
+  int nt = threads < 1 ? 1 : threads;
+  std::vector<std::thread> pool;
+  auto worker = [&](int tid) {
+    for (Py_ssize_t i = tid; i < n; i += nt) {
+      ok[i] = process_one_minmax(datas[i], lens[i], is_b64 != 0, min_size,
+                                 max_size, fast_scale != 0, &outs[i], &hs[i],
+                                 &ws[i])
+                  ? 1
+                  : 0;
+    }
+  };
+  for (int t = 0; t < nt; t++) pool.emplace_back(worker, t);
+  for (auto& th : pool) th.join();
+  Py_END_ALLOW_THREADS;
+
+  PyObject* result = PyList_New(n);
+  for (Py_ssize_t i = 0; i < n; i++) {
+    if (!ok[i]) {
+      Py_INCREF(Py_None);
+      PyList_SetItem(result, i, Py_None);
+      continue;
+    }
+    PyObject* buf = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(outs[i].data()),
+        (Py_ssize_t)outs[i].size());
+    // "N" steals buf's reference; plain PyTuple_Pack would leak the ints
+    PyObject* tup = Py_BuildValue("(Nii)", buf, hs[i], ws[i]);
+    PyList_SetItem(result, i, tup);
+  }
+  return result;
+}
+
 // b64_to_jpeg(payload: bytes) -> bytes | None
 PyObject* b64_decode_py(PyObject*, PyObject* args) {
   const char* data;
@@ -310,6 +444,8 @@ PyObject* b64_decode_py(PyObject*, PyObject* args) {
 PyMethodDef methods[] = {
     {"decode_resize_crop_batch", decode_resize_crop_batch, METH_VARARGS,
      "batched base64/jpeg -> resized center-cropped uint8 RGB"},
+    {"decode_minmax_batch", decode_minmax_batch, METH_VARARGS,
+     "batched base64/jpeg -> MinMax aspect-preserving uint8 RGB (ragged)"},
     {"b64_decode", b64_decode_py, METH_VARARGS, "fast base64 decode"},
     {nullptr, nullptr, 0, nullptr},
 };

@@ -122,16 +122,14 @@ class CaptionEngine(object):
         self.max_text_len = max_text_len
         self.pool = ThreadPoolExecutor(max_workers=decode_workers)
         self._jitted = {}
-        # native C++ decode path: only for the plain resize+crop transform
-        # (not MinMaxResize), normalization then runs fused on device and
-        # the host->device transfer is uint8 (4x smaller)
+        # native C++ decode path (fixed resize+crop AND MinMax variants);
+        # normalization then runs fused on device and the host->device
+        # transfer is uint8 (4x smaller).  The MinMax engine is otherwise
+        # PIL-decode-bound (~11 img/s on a 1-vCPU host, measured).
         if use_native is None:
             from .. import native
 
-            use_native = (
-                native.available()
-                and getattr(transform, "respect_ratio_max", 1) is None
-            )
+            use_native = native.available()
         self.use_native = use_native
 
     # -- compiled programs, one per (prefix_len, image_hw) ---------------
@@ -187,19 +185,32 @@ class CaptionEngine(object):
         if not self.use_native:
             return [self._decode_row(p) for p in payloads]
         from .. import native
-        from ..preprocess.transforms import center_crop, resize_shorter
+        from ..preprocess.transforms import (
+            center_crop,
+            min_max_resize,
+            resize_shorter,
+        )
 
         raw = [p.encode() if isinstance(p, str) else p for p in payloads]
         crop = self.transform.crop_size
-        arrs, ok = native.decode_resize_crop_batch(raw, crop)
+        ratio_max = getattr(self.transform, "respect_ratio_max", None)
+        if ratio_max is not None:
+            # MinMax (high-res) family: ragged aspect-preserving outputs
+            decoded = native.decode_minmax_batch(raw, crop, ratio_max)
+        else:
+            arrs, ok = native.decode_resize_crop_batch(raw, crop)
+            decoded = [arrs[i] if good else None for i, good in enumerate(ok)]
         out = []
-        for i, good in enumerate(ok):
-            if good:
-                out.append(arrs[i])
+        for i, arr in enumerate(decoded):
+            if arr is not None:
+                out.append(arr)
                 continue
+            # PIL fallback per row (e.g. PNG payloads)
             img = image_from_base64(payloads[i])
             if img is None:
                 out.append(None)
+            elif ratio_max is not None:
+                out.append(np.asarray(min_max_resize(img, crop, ratio_max), np.uint8))
             else:
                 out.append(
                     np.asarray(center_crop(resize_shorter(img, crop), crop), np.uint8)

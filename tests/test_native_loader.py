@@ -141,3 +141,50 @@ def test_crop_origin_rounding_matches_python_round():
     # random noise would push the MEAN difference to ~80
     assert diff.mean() < 2.0, diff.mean()
     assert diff.max() <= 8, diff.max()
+
+
+def test_minmax_decode_matches_pil_path():
+    """Native MinMax (aspect-preserving, ragged) decode: target sizes
+    match min_max_resize_size exactly for every aspect class, pixels
+    close to the PIL path (shared resampler; see the mild-downscale
+    note below)."""
+    from gitax.preprocess.transforms import min_max_resize
+
+    rng = np.random.RandomState(3)
+    for (w, h) in [(640, 480), (480, 640), (500, 500), (1280, 720),
+                   (420, 980), (300, 200)]:
+        arr = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        raw = buf.getvalue()
+        got = native.decode_minmax_batch(
+            [base64.b64encode(raw)], 420, 560, fast_scale=False
+        )[0]
+        ref = np.asarray(
+            min_max_resize(Image.open(io.BytesIO(raw)).convert("RGB"), 420, 560)
+        )
+        assert got is not None and got.shape == ref.shape, (w, h)
+        diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+        # mild downscales carry PIL's fixed-point coefficient quantization
+        # (same property as the fixed-size path, measured max 17 there on
+        # noise); the mean stays at fractions of an LSB
+        assert diff.mean() < 0.5, (w, h, diff.mean())
+    # corrupt rows -> None
+    assert native.decode_minmax_batch([b"!!!"], 420, 560) == [None]
+
+
+def test_minmax_decode_fast_scale_targets_exact():
+    """fast_scale's reduced IDCT must not change the TARGET size (it is
+    computed from the original header dims, not the reduced ones)."""
+    from gitax.preprocess.transforms import min_max_resize_size
+
+    rng = np.random.RandomState(5)
+    for (w, h) in [(1706, 1279), (1280, 720), (900, 1600)]:
+        arr = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+        got = native.decode_minmax_batch(
+            [base64.b64encode(buf.getvalue())], 420, 560, fast_scale=True
+        )[0]
+        oh, ow = min_max_resize_size((w, h), 420, 560)
+        assert got.shape == (oh, ow, 3), (w, h, got.shape, (oh, ow))

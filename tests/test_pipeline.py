@@ -163,3 +163,52 @@ def test_varshape_minmax_engine(tmp_path):
     assert [out.get_key(i) for i in range(3)] == ["wide", "tall", "sq"]
     for i in range(3):
         assert "caption" in json.loads(out[i][1])[0]
+
+
+@pytest.mark.skipif(
+    not __import__("gitax.native", fromlist=["native"]).available(),
+    reason="native toolchain unavailable",
+)
+def test_varshape_minmax_engine_native_matches_pil(tmp_path):
+    """The native MinMax decode path (ragged uint8 + fused on-device
+    normalization) must produce the same captions as the PIL path.
+    Smooth gradient images resample identically in both, so caption
+    equality is deterministic."""
+    import numpy as np
+    from PIL import Image
+    import base64, io
+
+    def gradient_b64(w, h):
+        x = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+        y = np.linspace(0, 255, h, dtype=np.float32)[:, None, None]
+        arr = np.broadcast_to((x + y) / 2, (h, w, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        return base64.b64encode(buf.getvalue()).decode()
+
+    model = GitModel(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tok = BertTokenizer(build_tiny_vocab())
+    rows = [
+        ["wide", gradient_b64(80, 50)],
+        ["tall", gradient_b64(50, 80)],
+        ["sq", gradient_b64(64, 64)],
+    ]
+    img_tsv = str(tmp_path / "imgs.tsv")
+    tsv_writer(rows, img_tsv)
+
+    outs = {}
+    for name, use_native in (("pil", False), ("native", True)):
+        engine = CaptionEngine(
+            model, params, tok,
+            TestTransform(crop_size=32, respect_ratio_max=48),
+            batch_size=2,
+            beam=BeamSearchConfig(num_beams=2, max_steps=8),
+            dtype=jnp.float32,
+            use_native=use_native,
+        )
+        out_tsv = str(tmp_path / f"out_{name}.tsv")
+        engine.run_caption_tsv(img_tsv, out_tsv)
+        t = TSVFile(out_tsv)
+        outs[name] = [t[i] for i in range(len(t))]
+    assert outs["pil"] == outs["native"]

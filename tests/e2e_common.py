@@ -105,12 +105,16 @@ def make_hf_cache(ws, vocab_src):
     return op.join(ws, "hf")
 
 
-def make_clip_jit_archive(path, image_resolution=96):
+def make_clip_jit_archive(path, image_resolution=96, vision_width=192,
+                          vision_layers=2, embed_dim=64):
     """Synthetic CLIP torchscript archive: a scripted module tree holding
     a (tiny, seeded) reference-CLIP state dict plus the int buffers the
     real OpenAI archives carry — consumable by the reference's
     torch.jit.load -> state_dict() -> build_model chain and by gitax's
-    offline clip-archive loader."""
+    offline clip-archive loader.  With vision_width=768,
+    vision_layers=12, image_resolution=224 the VISION tower is exactly
+    ViT-B/16-sized (the text tower stays tiny — GIT only consumes
+    model.visual, reference model.py:68-71)."""
     import torch
 
     if REFERENCE_ROOT not in sys.path:
@@ -122,10 +126,10 @@ def make_clip_jit_archive(path, image_resolution=96):
     clip_model, _ = reference_compat.import_reference_modules()
     torch.manual_seed(1234)
     clip = clip_model.CLIP(
-        embed_dim=64,
+        embed_dim=embed_dim,
         image_resolution=image_resolution,
-        vision_layers=2,
-        vision_width=192,
+        vision_layers=vision_layers,
+        vision_width=vision_width,
         vision_patch_size=16,
         context_length=16,
         vocab_size=64,
@@ -163,7 +167,7 @@ def make_clip_jit_archive(path, image_resolution=96):
     return path
 
 
-def make_git_checkpoint(ws, vocab_path):
+def make_git_checkpoint(ws, vocab_path, model_name=MODEL_NAME, param=None):
     """Build the reference GIT model (its own get_git_model, tiny CLIP
     encoder via the synthetic archive) and save its state dict as
     output/{model}/snapshot/model.pt, seeded so decoding terminates and
@@ -208,7 +212,7 @@ def make_git_checkpoint(ws, vocab_path):
         os.chdir(ws)
         try:
             torch.manual_seed(99)
-            model = get_git_model(tokenizer, _param())
+            model = get_git_model(tokenizer, param if param is not None else _param())
         finally:
             os.chdir(cwd)
     finally:
@@ -236,7 +240,14 @@ def make_git_checkpoint(ws, vocab_path):
             bias[special] -= 8.0
         bias[tokenizer.sep_token_id] = 0.0
         sd["textual.output.bias"].copy_(bias)
-    out = op.join(ws, "output", MODEL_NAME, "snapshot", "model.pt")
+        # video models: the reference initializes img_temperal_embedding
+        # to zeros (decoder.py:831-836) — a no-op that would hide
+        # temporal-embedding bugs; randomize them so frame order matters
+        g2 = torch.Generator().manual_seed(11)
+        for name, tensor in sd.items():
+            if name.startswith("img_temperal_embedding."):
+                tensor.copy_(torch.randn(tensor.shape, generator=g2) * 0.5)
+    out = op.join(ws, "output", model_name, "snapshot", "model.pt")
     os.makedirs(op.dirname(out), exist_ok=True)
     torch.save({"model": sd}, out)
     return out
@@ -250,17 +261,34 @@ def _param():
     }
 
 
-def make_param_yamls(ws):
+VIDEO_MODEL_NAME = "TEST_E2E_VIDEO"
+HIRES_MODEL_NAME = "TEST_E2E_HIRES"
+
+
+def _param_video():
+    # mirrors aux_data/models/GIT_BASE_VATEX/parameter.yaml (6 frames)
+    return dict(_param(), num_image_with_embedding=6)
+
+
+def _param_hires():
+    # mirrors aux_data/models/GIT_BASE_TEXTVQA/parameter.yaml's
+    # MinMaxResizeForTest family (test_respect_ratio_max), tiny sizes
+    return dict(_param(), test_respect_ratio_max=104)
+
+
+def make_param_yamls(ws, model_name=MODEL_NAME, param=None):
     import yaml
 
+    if param is None:
+        param = _param()
     for rel in (
-        op.join("output", MODEL_NAME, "parameter.yaml"),
-        op.join("aux_data", "models", MODEL_NAME, "parameter.yaml"),
+        op.join("output", model_name, "parameter.yaml"),
+        op.join("aux_data", "models", model_name, "parameter.yaml"),
     ):
         path = op.join(ws, rel)
         os.makedirs(op.dirname(path), exist_ok=True)
         with open(path, "w") as fp:
-            yaml.safe_dump(_param(), fp)
+            yaml.safe_dump(param, fp)
 
 
 def _jpeg_b64(arr):
@@ -311,6 +339,66 @@ def make_data_tsvs(ws, n_synth=2):
     tsv_writer(gt, op.join(ws, "gt.caption.tsv"))
 
 
+def make_video_frames(ws, n_frames=6):
+    """Six distinguishable jpeg frames (a moving bright square over the
+    demo photo) for the reference's multi-frame single-image CLI
+    (reference inference.py:75-80, decoder.py:846-853)."""
+    base = np.asarray(
+        Image.open(op.join(REFERENCE_ROOT, "aux_data", "images", "1.jpg"))
+        .convert("RGB")
+        .resize((96, 96))
+    )
+    paths = []
+    frame_dir = op.join(ws, "frames")
+    os.makedirs(frame_dir, exist_ok=True)
+    for f in range(n_frames):
+        arr = base.copy()
+        x = 8 + 12 * f
+        arr[20:44, x : x + 20] = [250, 240, 40]
+        p = op.join(frame_dir, "f{}.jpg".format(f))
+        Image.fromarray(arr).save(p, "JPEG", quality=90)
+        paths.append(p)
+    return paths
+
+
+def make_imagenet_names(ws):
+    """aux_data/imagenet/imagenet_unique_readable_names.txt — the file
+    the reference's get_trie_vocab_texts reads relative to cwd
+    (trie_decoder.py:12-17).  Names are built from the test vocab so
+    they tokenize to 1..3 wordpieces (incl. ##-merges via 'cafes')."""
+    names = [
+        "dog", "cat", "boat", "horse", "sheep", "elephant", "zebra",
+        "giraffe", "train", "bus", "red car", "blue boat", "small dog",
+        "large cat", "man walking", "woman running", "cafes", "park tree",
+        "yellow banana", "green apple",
+    ]
+    path = op.join(ws, "aux_data", "imagenet")
+    os.makedirs(path, exist_ok=True)
+    path = op.join(path, "imagenet_unique_readable_names.txt")
+    with open(path, "w") as fp:
+        fp.write("\n".join(names) + "\n")
+    return path
+
+
+def make_hires_tsv(ws):
+    """img_wide.tsv: NON-square images (odd sizes exercising the MinMax
+    resize rounding + patch-remainder truncation) incl. the real demo
+    photos (640x480 etc.)."""
+    sys.path.insert(0, REPO_ROOT)
+    from gitax.io.tsv import tsv_writer
+
+    rows = []
+    for i, name in enumerate(["1.jpg", "2.jpg"]):
+        with open(op.join(REFERENCE_ROOT, "aux_data", "images", name), "rb") as fp:
+            rows.append(("demo{}".format(i), base64.b64encode(fp.read()).decode()))
+    rng = np.random.RandomState(17)
+    for i, (w, h) in enumerate([(120, 80), (77, 150), (104, 104), (65, 131)]):
+        arr = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        arr[:, : w // 2, 0] = 220  # structure, so captions differ by image
+        rows.append(("wide{}".format(i), _jpeg_b64(arr)))
+    tsv_writer(rows, op.join(ws, "img_wide.tsv"))
+
+
 def build_workspace(ws):
     os.makedirs(ws, exist_ok=True)
     vocab = make_bert_vocab(op.join(ws, "vocab.txt"))
@@ -322,13 +410,53 @@ def build_workspace(ws):
     return {"ws": ws, "hf_home": hf_home, "vocab": vocab}
 
 
-def run_reference_cli(ws, hf_home, module, payload, timeout=600):
+FULL_MODEL_NAME = "TEST_E2E_FULL"
+
+
+def build_full_scale_workspace(ws):
+    """GIT_BASE-SIZED workspace (VERDICT r2 next #1d): real ViT-B/16
+    vision tower (12 layers, width 768, 224 px), the reference's
+    fixed-size 6-layer/768-hidden decoder, full 30522 vocab — the
+    reference factory's EXACT default geometry (reference model.py:9-40
+    with param {}), seeded + EOS-gated like the tiny fixture.  Slow
+    (minutes on 1 vCPU): used by the opt-in GITAX_E2E_FULL dual run."""
+    os.makedirs(ws, exist_ok=True)
+    vocab = make_bert_vocab(op.join(ws, "vocab.txt"))
+    hf_home = make_hf_cache(ws, vocab)
+    make_clip_jit_archive(
+        op.join(ws, "output", "clip", "ViT-B-16.pt"),
+        image_resolution=224, vision_width=768, vision_layers=12,
+    )
+    param = {}  # the reference's defaults: CLIPViT_B_16, 768, 224
+    make_param_yamls(ws, FULL_MODEL_NAME, param)
+    make_git_checkpoint(ws, vocab, FULL_MODEL_NAME, param)
+    make_data_tsvs(ws)
+    return {"ws": ws, "hf_home": hf_home, "vocab": vocab}
+
+
+def extend_workspace_families(ws, vocab):
+    """Add the video / trie / high-res assets + models to a workspace
+    built by build_workspace (kept separate so the base caption/VQA
+    tests don't pay for them)."""
+    make_param_yamls(ws, VIDEO_MODEL_NAME, _param_video())
+    make_git_checkpoint(ws, vocab, VIDEO_MODEL_NAME, _param_video())
+    make_param_yamls(ws, HIRES_MODEL_NAME, _param_hires())
+    make_git_checkpoint(ws, vocab, HIRES_MODEL_NAME, _param_hires())
+    frames = make_video_frames(ws)
+    names = make_imagenet_names(ws)
+    make_hires_tsv(ws)
+    return {"frames": frames, "imagenet_names": names}
+
+
+def run_reference_cli(ws, hf_home, module, payload, timeout=600, extra_env=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REFERENCE_ROOT + os.pathsep + STUB_DIR
     env["HF_HOME"] = hf_home
     env["TRANSFORMERS_OFFLINE"] = "1"
     env["HF_HUB_OFFLINE"] = "1"
     env.pop("JAX_PLATFORMS", None)
+    if extra_env:
+        env.update(extra_env)
     return subprocess.run(
         [sys.executable, op.join(STUB_DIR, "run_reference_cli.py"), module,
          "-p", _json.dumps(payload)],

@@ -39,6 +39,34 @@ def _offline_download(url, root="./output/clip"):
 
 _clip._download = _offline_download
 
+import os  # noqa: E402
+
+if os.environ.get("REF_TRIE"):
+    # enable the reference's own commented-in trie-decoder option
+    # (reference model.py:42-48) without editing the read-only checkout:
+    # build the model normally, then swap the decoder exactly as the
+    # commented recipe constructs it.
+    from generativeimage2text import model as _ref_model  # noqa: E402
+
+    _orig_get_git_model = _ref_model.get_git_model
+
+    def _trie_get_git_model(tokenizer, param):
+        m = _orig_get_git_model(tokenizer, param)
+        from generativeimage2text.trie_decoder import (
+            TrieAutoRegressiveBeamSearch,
+            get_trie,
+        )
+
+        m.decoder = TrieAutoRegressiveBeamSearch(
+            eos_index=tokenizer.sep_token_id,
+            max_steps=1022,
+            beam_size=1,
+            trie=get_trie(tokenizer),
+        )
+        return m
+
+    _ref_model.get_git_model = _trie_get_git_model
+
 module = "generativeimage2text." + sys.argv[1]
 sys.argv = [sys.argv[0]] + sys.argv[2:]
 runpy.run_module(module, run_name="__main__")

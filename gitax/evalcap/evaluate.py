@@ -80,6 +80,7 @@ def evaluate_on_coco_caption(res_file, label_file, outfile=None):
         coco_eval.params["image_id"] = coco_res.getImgIds()
         coco_eval.evaluate()
         result = coco_eval.eval
+        provenance = {"scorer": "pycocoevalcap"}
     except ImportError:
         logging.info("pycocoevalcap not installed; using gitax native scorers "
                      "(BLEU/METEOR/ROUGE_L/CIDEr; no SPICE)")
@@ -92,8 +93,15 @@ def evaluate_on_coco_caption(res_file, label_file, outfile=None):
         candidates = {k: candidates[k] for k in references if k in candidates}
         references = {k: references[k] for k in candidates}
         result = score_captions(candidates, references)
+        # native METEOR is a documented variant (exact/stem matching
+        # only — no WordNet synonymy/paraphrase tables, evalcap/
+        # meteor.py); mark the emitted json so a downstream reader
+        # cannot mistake variant-METEOR for jar-METEOR (VERDICT r2)
+        provenance = {"scorer": "native", "METEOR_variant": "no-synonymy"}
 
     with open(outfile, "w") as fp:
-        json.dump(result, fp, indent=4)
+        # provenance keys ride in the FILE only; the returned dict stays
+        # all-numeric for metric consumers
+        json.dump(dict(result, **provenance), fp, indent=4)
     logging.info("metrics: %s", result)
     return result

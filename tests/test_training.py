@@ -310,6 +310,73 @@ def test_finetune_dataset_and_iterator(tmp_path):
     assert batches[1]["image"].shape[1] == tr.crop_size_for(1)
 
 
+def test_batch_iterator_consumes_permutation_across_epochs(tmp_path):
+    """Tail batches span epoch boundaries: each epoch's permutation is
+    consumed exactly once, in order, even when len(dataset) %
+    batch_size != 0 (ADVICE r2 — the old modulo-wrap duplicated the
+    permutation head and skipped the next epoch's first entries)."""
+    from gitax.preprocess.train_transforms import TrainTransform
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+    from gitax.training import TSVCaptionDataset, batch_iterator
+
+    img_tsv, cap_tsv = _finetune_fixture(tmp_path)
+    ds = TSVCaptionDataset(img_tsv, cap_tsv)
+    assert len(ds) == 6
+    recorded = []
+    orig_sample = ds.sample
+    ds.sample = lambda j: (recorded.append(int(j)), orig_sample(j))[1]
+    tok = BertTokenizer(build_tiny_vocab(words=["a", "dog", "cat", "sits"]))
+    tr = TrainTransform(train_crop_size=32, min_size_range32=None, seed=0)
+    # batch_size 4 over 6 samples: 12 positions = exactly 2 epochs in 3
+    # steps; batch 2 spans the epoch-0/epoch-1 boundary
+    list(batch_iterator(ds, tok, tr, batch_size=4, num_steps=3, seed=0))
+    expect = [int(x) for x in ds.epoch_order(0, 0)] + [
+        int(x) for x in ds.epoch_order(1, 0)
+    ]
+    assert recorded == expect
+    # resume from start_step=1 continues the same global stream
+    recorded.clear()
+    list(batch_iterator(ds, tok, tr, batch_size=4, num_steps=3, seed=0,
+                        start_step=1))
+    assert recorded == expect[4:]
+
+
+def test_evaluate_model_on_tsv_rejects_conflicting_engine_args(tmp_path):
+    """Decode settings are creation-time-only when an engine is passed;
+    conflicting explicit values raise instead of being silently ignored
+    (ADVICE r2)."""
+    import jax.numpy as jnp
+
+    from gitax.decode import BeamSearchConfig
+    from gitax.preprocess import TestTransform
+    from gitax.runtime import CaptionEngine
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+    from gitax.training import evaluate_model_on_tsv
+
+    tok = BertTokenizer(build_tiny_vocab(words=["a", "dog"]))
+    model = GitModel(GitConfig(
+        encoder=ViTConfig(16, 32, 1, 2, 32),
+        visual_feature_size=32, vocab_size=tok.vocab_size, hidden_size=32,
+        num_layers=1, num_heads=2, feedforward_size=64,
+        max_caption_length=64,
+    ))
+    params = model.init_params(jax.random.PRNGKey(0))
+    engine = CaptionEngine(
+        model, params, tok, TestTransform(crop_size=32), batch_size=2,
+        beam=BeamSearchConfig(num_beams=2, max_steps=6), dtype=jnp.float32,
+    )
+    with pytest.raises(ValueError, match="num_beams"):
+        evaluate_model_on_tsv(
+            model, params, tok, "img.tsv", "cap.tsv",
+            num_beams=4, engine=engine,
+        )
+    with pytest.raises(ValueError, match="crop_size"):
+        evaluate_model_on_tsv(
+            model, params, tok, "img.tsv", "cap.tsv",
+            crop_size=224, engine=engine,
+        )
+
+
 def test_run_finetune_saves_and_resumes(tmp_path):
     from gitax.ckpt.serialization import latest_step
     from gitax.tokenization import BertTokenizer, build_tiny_vocab
@@ -504,6 +571,16 @@ def test_run_scst_tsv_loop(tmp_path):
         save_dir=str(tmp_path / "scst_ckpt"), save_every=1,
     )
     assert int(state.step) == 2
+    # resume: picks up at step 2 and runs only step 3, with the per-step
+    # sampling/PRNG streams continuing past start_step (not replaying
+    # the already-trained positions — ADVICE r2)
+    state = run_scst(
+        img_tsv, cap_tsv, model, num_steps=3, batch_size=2,
+        num_samples=2, max_decode_steps=6, crop_size=32,
+        tokenizer=tok, log_every=1,
+        save_dir=str(tmp_path / "scst_ckpt"), save_every=10,
+    )
+    assert int(state.step) == 3
 
 
 def test_fast_softmax_train_step_close():

@@ -106,16 +106,23 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None,
 
     Cites decoder.py:846-857 for how GIT consumes the full token grid.
     flash=True opts into the Pallas fused-attention kernel
-    (ops/flash_attention.py, inference only); default is the XLA path.
-    Measured on v5e: XLA wins at the 224px S=257 shape (0.3-0.5 vs
-    0.9 ms/layer); at the high-res S=1201 shape the KERNEL wins the
-    attention core (1.4-1.5 vs 2.1 ms/layer) but end-to-end high-res
-    VQA throughput measured a wash (73.9 vs 72.6 img/s — prefill and
-    the decode loop dominate at that shape), so the default stays XLA
-    everywhere rather than adding a shape-dependent numerics change.
+    (ops/flash_attention.py, inference only); flash=None AUTO-ENABLES it
+    by sequence length: measured on v5e (round 3, see
+    ops/flash_attention.py FLASH_AUTO_MIN_SEQ table), XLA wins at
+    S<=626 (628 vs 528 img/s at the 224px S=257 shape) but collapses
+    past S=640 lanes, where the kernel is 22-44% faster (S=901: 155 vs
+    117 img/s; S=1601: 75 vs 52).  Auto never fires in f32 parity mode
+    or off-TPU, so the byte-parity paths keep the reference's XLA
+    numerics; training passes flash=False explicitly (differentiable
+    path).
     """
     if flash is None:
-        flash = False
+        from ..ops.flash_attention import auto_flash
+
+        p_ = cfg.patch_size
+        flash = auto_flash(
+            (images.shape[1] // p_) * (images.shape[2] // p_) + 1, dtype
+        )
     if fast is None:
         fast = cfg.fast_softmax
     b, h, w, c = images.shape

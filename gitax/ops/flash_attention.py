@@ -246,3 +246,27 @@ def use_pallas() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+# Measured crossover on v5e (GIT_LARGE ViT-L/14 encoder forward, bf16,
+# interleaved one-process sweep, round 3): XLA wins below, the kernel
+# wins above — img/s XLA vs kernel:
+#   S=257:  628 / 528     S=577:  275 / 220     S=626: 252 / 213
+#   S=677:  173 / 211     S=785:  142 / 163     S=901: 117 / 155
+#   S=1226:  73 / 104     S=1601:  52 /  75
+# XLA's fused attention falls off a cliff once S exceeds 5x128=640
+# lanes; the kernel's VMEM-resident scores degrade smoothly.  High-res
+# MinMax models (S ~900-1600) gain 32-44% encoder throughput.
+FLASH_AUTO_MIN_SEQ = 640
+
+
+def auto_flash(seq_len: int, dtype) -> bool:
+    """Shape-based default for the encoder's flash=None: the Pallas
+    kernel turns on for long sequences (high-res grids) in production
+    dtypes, never in f32 parity mode (whose numerics are pinned to the
+    reference's XLA path), never off-TPU."""
+    return (
+        seq_len >= FLASH_AUTO_MIN_SEQ
+        and jnp.dtype(dtype) != jnp.float32
+        and use_pallas()
+    )

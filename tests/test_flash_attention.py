@@ -81,3 +81,25 @@ def test_vit_forward_flash_flag_matches():
     with pltpu.force_tpu_interpret_mode():
         out = vit_forward(params, img, cfg, flash=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_auto_flash_rule(monkeypatch):
+    """flash=None auto-enable (round 3): ON only for S >=
+    FLASH_AUTO_MIN_SEQ in non-f32 dtypes on a Pallas backend — f32
+    parity mode and CPU never flip (their numerics stay the reference's
+    XLA path)."""
+    from gitax.ops import flash_attention as fa
+
+    # real environment: CPU test runner -> always off
+    assert not fa.auto_flash(2048, jnp.bfloat16) or fa.use_pallas()
+
+    monkeypatch.setattr(fa, "use_pallas", lambda: True)
+    assert fa.auto_flash(fa.FLASH_AUTO_MIN_SEQ, jnp.bfloat16)
+    assert fa.auto_flash(1601, jnp.bfloat16)
+    assert not fa.auto_flash(fa.FLASH_AUTO_MIN_SEQ - 1, jnp.bfloat16)
+    assert not fa.auto_flash(257, jnp.bfloat16)
+    # f32 parity mode never auto-enables, any length
+    assert not fa.auto_flash(1601, jnp.float32)
+
+    monkeypatch.setattr(fa, "use_pallas", lambda: False)
+    assert not fa.auto_flash(1601, jnp.bfloat16)

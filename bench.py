@@ -170,7 +170,10 @@ def drift_metric(n_images=None):
     from gitax.ops.flash_attention import use_pallas
     from gitax.ops.quant import quantize_git_params
 
-    n_images = n_images or int(os.environ.get("GITAX_BENCH_DRIFT_N", "256"))
+    if n_images is None:
+        n_images = int(os.environ.get("GITAX_BENCH_DRIFT_N", "256"))
+    if n_images <= 0:
+        return None
     beam = BeamSearchConfig(num_beams=4, max_steps=MAX_STEPS)
 
     parity_model = GitModel.from_param(get_model_param("GIT_LARGE_COCO"))

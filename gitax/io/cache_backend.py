@@ -44,6 +44,15 @@ def _sha256(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()
 
 
+def _atomic_write(path: str, data: bytes) -> None:
+    """tmp + rename publication: concurrent readers (other ranks racing
+    the same blob) see either nothing or the complete file."""
+    tmp = path + ".tmp.{}".format(os.getpid())
+    with open(tmp, "wb") as fp:
+        fp.write(data)
+    os.replace(tmp, path)
+
+
 def _path_key(path: str) -> str:
     # normalize so "a/b", "./a/b" address the same blob
     return _sha256(op.normpath(path).encode("utf-8"))
@@ -74,10 +83,7 @@ class DirectoryStore(object):
         d = op.dirname(p)
         if d:
             os.makedirs(d, exist_ok=True)
-        tmp = p + ".tmp.{}".format(os.getpid())
-        with open(tmp, "wb") as fp:
-            fp.write(data)
-        os.replace(tmp, p)
+        _atomic_write(p, data)
 
     def delete(self, path: str) -> None:
         p = self._local(path)
@@ -151,15 +157,8 @@ class CachingBackend(object):
         digest = _sha256(data)
         obj = op.join(self._objects, digest)
         if not op.isfile(obj):
-            tmp = obj + ".tmp.{}".format(os.getpid())
-            with open(tmp, "wb") as fp:
-                fp.write(data)
-            os.replace(tmp, obj)
-        ptr = self._pointer(path)
-        tmp = ptr + ".tmp.{}".format(os.getpid())
-        with open(tmp, "w") as fp:
-            fp.write(digest)
-        os.replace(tmp, ptr)
+            _atomic_write(obj, data)
+        _atomic_write(self._pointer(path), digest.encode("ascii"))
         return obj
 
     def invalidate(self, path: str) -> None:
@@ -170,11 +169,23 @@ class CachingBackend(object):
 
     # -- backend interface (gitax.io.fileio) -------------------------------
     def open(self, path: str, mode: str = "r"):
-        writing = any(m in mode for m in "wax")
+        writing = any(m in mode for m in "wax+")
         if writing:
             d = op.dirname(path)
             if d:
                 os.makedirs(d, exist_ok=True)
+            # update/append modes build on existing content: materialize a
+            # PRIVATE local copy first — never hand out a writable handle
+            # on the shared content-addressed object ('r+' on the dedup
+            # object would corrupt every path mapped to the same digest).
+            preserves = ("a" in mode) or ("r" in mode and "+" in mode)
+            if preserves and not op.isfile(path):
+                local = self._materialize(path)
+                if local is None and "r" in mode:
+                    raise FileNotFoundError(path)
+                if local is not None and local != path:
+                    with open(local, "rb") as fp:
+                        _atomic_write(path, fp.read())
             publish = None
             if self.write_through:
                 publish = lambda data: self.store.put(path, data)  # noqa: E731
@@ -190,7 +201,10 @@ class CachingBackend(object):
             return True
         if self.store is not None:
             return self.store.exists(path)
-        return self._fetch(path) is not None
+        # callable hook with no exists(): materialize-and-cache on the
+        # probe so a barrier polling isfile() doesn't re-download the
+        # blob every cycle just to discard it
+        return self._materialize(path) is not None
 
     def getsize(self, path: str) -> int:
         local = self._materialize(path)

@@ -63,9 +63,10 @@ _backend = LocalBackend()
 
 
 def set_backend(backend):
-    """Install a process-wide file backend (azfuse-style remote layer)."""
+    """Install a process-wide file backend (azfuse-style remote layer).
+    Passing None restores the default local-filesystem backend."""
     global _backend
-    _backend = backend
+    _backend = LocalBackend() if backend is None else backend
 
 
 def get_backend():

@@ -59,11 +59,14 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
 
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Default floors (1 s compile time / 0 bytes) skip exactly the
         # small-but-recompiled-every-process programs we care about.
+        # Floors first, cache dir LAST: the dir update is what turns the
+        # cache on, so a partial failure leaves it fully off, matching
+        # the warning below.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     except (OSError, AttributeError) as exc:  # unwritable dir / old jax
         logging.warning("compile cache disabled: %s", exc)
         return None

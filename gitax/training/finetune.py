@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import logging
 import queue
+import random
 import threading
 import time
 from typing import Iterator, Optional, Sequence, Tuple
@@ -122,6 +123,10 @@ def batch_iterator(
                 # modulo the current permutation would duplicate its
                 # head and skip the next epoch's first pos%n entries —
                 # ADVICE r2)
+                # per-step augmentation stream: crop/flip draws depend
+                # on (seed, step) so a resumed run reproduces the
+                # continuous run's batches exactly (ADVICE r2)
+                transform.rng = random.Random((seed << 20) + step)
                 idxs = []
                 for j in range(batch_size):
                     gpos = pos + j
@@ -218,7 +223,9 @@ def evaluate_model_on_tsv(
             ("max_steps", max_steps, engine.beam.max_steps),
             ("dtype", dtype, engine.dtype),
         ):
-            if passed is not None and passed != actual:
+            # actual None = unknowable (e.g. a custom transform without
+            # .crop_size) — skip rather than raise a spurious conflict
+            if passed is not None and actual is not None and passed != actual:
                 raise ValueError(
                     "evaluate_model_on_tsv: {}={} conflicts with the "
                     "passed engine's {} (engine settings are fixed at "
@@ -531,6 +538,11 @@ def run_scst(
         # continues the sequence instead of replaying steps 1..N-start
         # with the stream positions of a fresh run (ADVICE r2)
         rng = np.random.RandomState(seed + step_now)
+        # the augmentation stream too: re-seed per step so crop/flip
+        # draws depend on (seed, step) — a single stream advanced from
+        # the process start would replay the fresh run's early draws
+        # after a resume (same defect as the index stream, ADVICE r2)
+        transform.rng = random.Random((seed << 20) + step_now)
         idxs = rng.choice(len(images), size=batch_size, replace=False) \
             if len(images) >= batch_size else rng.randint(0, len(images), batch_size)
         batch_imgs, batch_gts = [], []

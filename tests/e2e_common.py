@@ -171,16 +171,36 @@ def make_git_checkpoint(ws, vocab_path, model_name=MODEL_NAME, param=None):
     """Build the reference GIT model (its own get_git_model, tiny CLIP
     encoder via the synthetic archive) and save its state dict as
     output/{model}/snapshot/model.pt, seeded so decoding terminates and
-    produces nontrivial text:
+    produces nontrivial, INPUT-SENSITIVE text (different images -> mostly
+    different captions; reversed video frames -> a different caption), so
+    the dual-CLI byte-parity assertions cannot pass vacuously:
 
-      * the EOS word embedding is aligned with the mean late-position
-        (>=12) minus early-position direction of the positional table —
-        through the tied output head this gates EOS strongly negative
-        before position 12 and dominant after, so captions run ~11
-        tokens and VQA answers (prefix ~7 tokens) a few tokens, then
-        terminate (beam `is_done` fires quickly once EOS dominates),
-      * the output bias favors the real-word/wordpiece/punctuation vocab
-        region so decoded text exercises wordpiece merge + cleanup."""
+      * positional EOS ramp: a fixed random unit direction `dhat` is
+        projected OUT of every positional embedding, then re-added as
+        -K for positions < 10 and +K*ramp after; the EOS word embedding
+        is K_sep*dhat, so through the tied output head the SEP logit is
+        hard-gated by POSITION alone — captions terminate at ~10 tokens
+        (VQA answers after a ~8-token prefix: 2-3 tokens) regardless of
+        what the visual stream contributes,
+      * the visual_projection LayerNorm gain (`linearLn`,
+        decoder.py:30-37) is scaled 16x, which makes the decoder hidden
+        states — and with them the argmax word — depend on the image
+        content instead of on fixed bias structure (measured: without
+        this, all inputs decode to the same caption),
+      * the output bias flattens all purely-alphabetic words to one
+        level (non-word junk well below), so the per-step winner is
+        decided by the image-dependent hidden state (decode-side
+        wordpiece merges stay covered by the trie CLI parity test),
+      * video models: the reference initializes img_temperal_embedding
+        to zeros (decoder.py:831-836) — a no-op that would hide
+        temporal-embedding bugs.  Slots 0-2 get LARGE (norm-8) fixed
+        directions — after the per-token visual_projection LayerNorm
+        they SATURATE, erasing the content of whichever frames sit in
+        those slots — and slots 3-5 get sigma-2 noise.  Forward order
+        therefore shows the decoder frames 3-5, reversed order frames
+        2-0: captions flip with frame order exactly when the pairing of
+        `img_temperal_embedding[i]` with frame i (decoder.py:846-853)
+        is applied."""
     import torch
 
     if REFERENCE_ROOT not in sys.path:
@@ -218,35 +238,55 @@ def make_git_checkpoint(ws, vocab_path, model_name=MODEL_NAME, param=None):
     finally:
         ref_clip._download = orig_download
     sd = model.state_dict()
+    # NOTE: sd's "textual.embedding.words.weight" and
+    # "textual.output.weight" are the SAME tensor (tied, decoder.py:505)
+    # — only mutate in place, never rebind, so both stay consistent.
+    # (The reference's load_state_dict builds name_to_param from
+    # named_parameters(), which dedups tied params, so only the
+    # embedding-side key is ever loaded back.)
     with torch.no_grad():
         words = sd["textual.embedding.words.weight"]
         pos = sd["textual.embedding.positions.weight"]
-        words.mul_(0.4)  # keep the tied-output self-token feedback small
-        d = pos[12:20].mean(0) - pos[0:12].mean(0)
-        words[tokenizer.sep_token_id] = 10.0 * d / d.norm()
-        g = torch.Generator().manual_seed(7)
-        bias = torch.randn(30522, generator=g) * 2.0
+        # positional EOS ramp (see docstring)
+        gd = torch.Generator().manual_seed(19)
+        dhat = torch.randn(pos.shape[1], generator=gd)
+        dhat /= dhat.norm()
+        pos.sub_((pos @ dhat)[:, None] * dhat[None, :])
+        t = torch.arange(pos.shape[0], dtype=torch.float32)
+        ramp = torch.where(t < 10, torch.full_like(t, -1.0),
+                           ((t - 9.0) / 4.0).clamp(max=1.0))
+        pos.add_(8.0 * ramp[:, None] * dhat[None, :])
+        words[tokenizer.sep_token_id] = 10.0 * dhat
         with open(vocab_path, encoding="utf-8") as fp:
             lines = [ln.rstrip("\n") for ln in fp]
-        real = torch.tensor(
-            [
-                i
-                for i, t in enumerate(lines)
-                if not t.startswith("[") and not t.endswith("]")
-            ]
+        # pure words only: a ##piece winning the (absorbing) step-0
+        # choice would merge into a single long word and defeat the
+        # multi-word caption sanity checks; decode-side ##-merges stay
+        # covered by the trie CLI test ('cafes' -> cafe + ##s)
+        alpha = torch.tensor(
+            [i for i, tk in enumerate(lines) if tk.isalpha()]
         )
-        bias[real] += 3.0  # real words / ##pieces / punctuation on top
+        g = torch.Generator().manual_seed(7)
+        bias = torch.randn(30522, generator=g) * 0.5 - 6.0  # junk out
+        bias[alpha] = 3.0  # words compete on the hidden state
         for special in (0, 100, 101, 103):  # PAD/UNK/CLS/MASK stay out
-            bias[special] -= 8.0
+            bias[special] = -14.0
         bias[tokenizer.sep_token_id] = 0.0
         sd["textual.output.bias"].copy_(bias)
-        # video models: the reference initializes img_temperal_embedding
-        # to zeros (decoder.py:831-836) — a no-op that would hide
-        # temporal-embedding bugs; randomize them so frame order matters
+        # image-sensitivity: amplify the visual tokens post-LayerNorm
+        sd["textual.visual_projection.1.weight"].mul_(16.0)
+        # temporal embeddings (video models; see docstring)
         g2 = torch.Generator().manual_seed(11)
         for name, tensor in sd.items():
             if name.startswith("img_temperal_embedding."):
-                tensor.copy_(torch.randn(tensor.shape, generator=g2) * 0.5)
+                slot = int(name.split(".")[1])
+                if slot < 3:
+                    g4 = torch.Generator().manual_seed(17 + slot)
+                    e = torch.randn(tensor.shape, generator=g4)
+                    tensor.copy_(8.0 * e / e.norm())
+                else:
+                    tensor.copy_(torch.randn(tensor.shape, generator=g2)
+                                 * 2.0)
     out = op.join(ws, "output", model_name, "snapshot", "model.pt")
     os.makedirs(op.dirname(out), exist_ok=True)
     torch.save({"model": sd}, out)
@@ -340,19 +380,42 @@ def make_data_tsvs(ws, n_synth=2):
 
 
 def make_video_frames(ws, n_frames=6):
-    """Six distinguishable jpeg frames (a moving bright square over the
-    demo photo) for the reference's multi-frame single-image CLI
-    (reference inference.py:75-80, decoder.py:846-853)."""
-    base = np.asarray(
+    """Six STRONGLY distinguishable jpeg frames for the reference's
+    multi-frame single-image CLI (reference inference.py:75-80,
+    decoder.py:846-853).  Each frame is a DIFFERENT image (two demo
+    photos, their flips, two synthetic gradients) plus a moving bright
+    square: the frame-order sanity test relies on reversed order pairing
+    different whole-frame content with the content-erasing temporal
+    slots 0-2 (see make_git_checkpoint), so frame-content differences
+    must be at the scale where single-image captions are measured to
+    differ — whole images, not a moved patch."""
+    demo1 = np.asarray(
         Image.open(op.join(REFERENCE_ROOT, "aux_data", "images", "1.jpg"))
         .convert("RGB")
         .resize((96, 96))
     )
+    demo2 = np.asarray(
+        Image.open(op.join(REFERENCE_ROOT, "aux_data", "images", "2.jpg"))
+        .convert("RGB")
+        .resize((96, 96))
+    )
+    ramp = np.linspace(0, 255, 96, dtype=np.float32)
+    vgrad = np.broadcast_to(ramp[:, None, None], (96, 96, 3))
+    hgrad = np.broadcast_to(ramp[None, :, None], (96, 96, 3))
+    rng = np.random.RandomState(23)
+    bases = [
+        demo1,
+        demo2,
+        demo1[::-1],
+        demo2[:, ::-1],
+        (vgrad * 0.6 + rng.randint(0, 90, (96, 96, 3))).clip(0, 255),
+        (hgrad * 0.6 + rng.randint(0, 90, (96, 96, 3))).clip(0, 255),
+    ]
     paths = []
     frame_dir = op.join(ws, "frames")
     os.makedirs(frame_dir, exist_ok=True)
     for f in range(n_frames):
-        arr = base.copy()
+        arr = np.ascontiguousarray(bases[f % len(bases)]).astype(np.uint8)
         x = 8 + 12 * f
         arr[20:44, x : x + 20] = [250, 240, 40]
         p = op.join(frame_dir, "f{}.jpg".format(f))

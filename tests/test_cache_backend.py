@@ -160,6 +160,41 @@ def test_callable_fetch_hook(tmp_path):
         assert fp.read() == b"payload"
     with b.open("x.bin", "rb") as fp:
         fp.read()
-    # materialized once despite isfile + two opens
-    assert calls.count("x.bin") <= 2  # isfile probe + one materialize
+    # the isfile probe MATERIALIZES (caches) rather than discarding, so
+    # probe + both opens cost exactly one fetch — a barrier polling
+    # isfile() against a callable hook must not re-download every cycle
+    assert calls.count("x.bin") == 1
     assert not b.isfile("y.bin")
+
+
+def test_update_modes_never_touch_shared_objects(backend, tmp_path,
+                                                 monkeypatch):
+    """'r+'/'a' on a remote-only path materialize a PRIVATE local copy;
+    the shared content-addressed object stays byte-intact (a writable
+    handle on the dedup object would corrupt every aliased path)."""
+    monkeypatch.chdir(tmp_path)
+    backend.store.put("blob/a.txt", b"hello")
+    backend.store.put("blob/b.txt", b"hello")  # same digest as a.txt
+
+    with backend.open("blob/a.txt", "rb+") as fp:
+        assert fp.read() == b"hello"
+        fp.seek(0)
+        fp.write(b"HELLO")
+    # a.txt updated locally + written through
+    with backend.open("blob/a.txt", "rb") as fp:
+        assert fp.read() == b"HELLO"
+    # the alias still serves the ORIGINAL content
+    backend.invalidate("blob/b.txt")
+    with backend.open("blob/b.txt", "rb") as fp:
+        assert fp.read() == b"hello"
+
+    # append mode preserves remote content instead of starting empty
+    backend.store.put("blob/log.txt", b"line1\n")
+    with backend.open("blob/log.txt", "ab") as fp:
+        fp.write(b"line2\n")
+    with backend.open("blob/log.txt", "rb") as fp:
+        assert fp.read() == b"line1\nline2\n"
+
+    # 'r+' on a path that exists nowhere still raises
+    with pytest.raises(FileNotFoundError):
+        backend.open("blob/missing.txt", "rb+")

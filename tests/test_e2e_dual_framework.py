@@ -254,6 +254,19 @@ def test_video_frame_order_matters(ws_ext):
     r = E.run_gitax_cli(ws_ext["ws"], ws_ext["hf_home"], "inference", payload)
     _check(r, "gitax video CLI (reversed)")
     assert rev_ref == _cli_output_line(r)
+    # the actual sanity claim: reversed frames produce a DIFFERENT
+    # caption than forward frames (if the randomized temporal embeddings
+    # ever silently stop applying, frame order becomes a no-op and the
+    # parity test above would go blind)
+    fwd = {
+        "type": "test_git_inference_single_image",
+        "image_path": ws_ext["frames"],
+        "model_name": E.VIDEO_MODEL_NAME,
+        "prefix": "",
+    }
+    r = E.run_reference_cli(ws_ext["ws"], ws_ext["hf_home"], "inference", fwd)
+    _check(r, "reference video CLI (forward)")
+    assert rev_ref != _cli_output_line(r)
 
 
 def test_trie_classification_cli_parity(ws_ext):

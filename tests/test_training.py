@@ -341,6 +341,34 @@ def test_batch_iterator_consumes_permutation_across_epochs(tmp_path):
     assert recorded == expect[4:]
 
 
+def test_batch_iterator_augmentation_stream_survives_resume(tmp_path):
+    """The random-crop/flip draws must depend on (seed, step), not on
+    how many steps this PROCESS has produced: a resume from step k must
+    yield byte-identical batches to the continuous run's steps k+1..N
+    (ADVICE r2 follow-up — the index stream was fixed first, but a
+    single transform RNG advanced from process start replayed the fresh
+    run's early draws after resume)."""
+    from gitax.preprocess.train_transforms import TrainTransform
+    from gitax.tokenization import BertTokenizer, build_tiny_vocab
+    from gitax.training import TSVCaptionDataset, batch_iterator
+
+    img_tsv, cap_tsv = _finetune_fixture(tmp_path)
+    ds = TSVCaptionDataset(img_tsv, cap_tsv)
+    tok = BertTokenizer(build_tiny_vocab(words=["a", "dog", "cat", "sits"]))
+
+    def run(start):
+        tr = TrainTransform(train_crop_size=32, min_size_range32=None, seed=7)
+        return [b["image"].copy() for b in batch_iterator(
+            ds, tok, tr, batch_size=2, num_steps=4, seed=7,
+            start_step=start)]
+
+    continuous = run(0)
+    resumed = run(2)
+    assert len(continuous) == 4 and len(resumed) == 2
+    np.testing.assert_array_equal(continuous[2], resumed[0])
+    np.testing.assert_array_equal(continuous[3], resumed[1])
+
+
 def test_evaluate_model_on_tsv_rejects_conflicting_engine_args(tmp_path):
     """Decode settings are creation-time-only when an engine is passed;
     conflicting explicit values raise instead of being silently ignored

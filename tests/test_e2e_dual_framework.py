@@ -101,6 +101,10 @@ def test_caption_tsv_byte_parity(caption_outputs):
     caps = [json.loads(line.split(b"\t")[1])[0]["caption"]
             for line in a.strip().split(b"\n")]
     assert all(len(c.split()) >= 3 for c in caps), caps
+    # input-sensitivity: the fixture checkpoint is constructed so
+    # captions depend on the image (e2e_common.make_git_checkpoint) —
+    # if they collapse to one string, byte parity is passing vacuously
+    assert len(set(caps)) >= 3, caps
     assert a == b
 
 

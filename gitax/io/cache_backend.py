@@ -92,17 +92,31 @@ class DirectoryStore(object):
 
 
 class _WriteThroughFile(io.FileIO):
-    """Local file that publishes its bytes to the store when closed."""
+    """Local file that publishes its bytes to the store when closed —
+    but only if the content actually changed: a read-only 'r+' handle
+    must NOT re-publish (possibly stale) bytes over a concurrent
+    update another rank pushed to the store."""
 
     def __init__(self, local_path, mode, publish):
         super().__init__(local_path, mode)
         self._publish = publish
         self._local_path = local_path
+        # 'w'/'x' truncate on open: the content changed even if nothing
+        # is ever written.  'a'/'r+' start clean until a write happens.
+        self._dirty = ("w" in mode) or ("x" in mode)
+
+    def write(self, data):
+        self._dirty = True
+        return super().write(data)
+
+    def truncate(self, size=None):
+        self._dirty = True
+        return super().truncate(size)
 
     def close(self):
         was_open = not self.closed
         super().close()
-        if was_open and self._publish is not None:
+        if was_open and self._dirty and self._publish is not None:
             with open(self._local_path, "rb") as fp:
                 self._publish(fp.read())
             self._publish = None
@@ -167,6 +181,17 @@ class CachingBackend(object):
         if op.isfile(ptr):
             os.remove(ptr)
 
+    def _publish_and_repoint(self, path: str, data: bytes) -> None:
+        """Write-through publish + refresh the content-address pointer:
+        after an update the old pointer names the PRE-update object, and
+        a lost local copy would silently serve stale bytes."""
+        self.store.put(path, data)
+        digest = _sha256(data)
+        obj = op.join(self._objects, digest)
+        if not op.isfile(obj):
+            _atomic_write(obj, data)
+        _atomic_write(self._pointer(path), digest.encode("ascii"))
+
     # -- backend interface (gitax.io.fileio) -------------------------------
     def open(self, path: str, mode: str = "r"):
         writing = any(m in mode for m in "wax+")
@@ -186,9 +211,13 @@ class CachingBackend(object):
                 if local is not None and local != path:
                     with open(local, "rb") as fp:
                         _atomic_write(path, fp.read())
-            publish = None
             if self.write_through:
-                publish = lambda data: self.store.put(path, data)  # noqa: E731
+                publish = lambda data: self._publish_and_repoint(path, data)  # noqa: E731
+            else:
+                # local-only write: the pointer (if any) now names stale
+                # content — drop it so a lost local copy re-fetches
+                # rather than resurrecting the pre-write object
+                publish = lambda data: self.invalidate(path)  # noqa: E731
             raw = _WriteThroughFile(path, mode.replace("b", ""), publish)
             return raw if "b" in mode else io.TextIOWrapper(raw)
         local = self._materialize(path)

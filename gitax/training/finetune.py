@@ -22,6 +22,7 @@ TPU notes:
 
 from __future__ import annotations
 
+import copy
 import json
 import logging
 import queue
@@ -109,6 +110,10 @@ def batch_iterator(
 ) -> Iterator[dict]:
     """Host-side batch producer: epoch-shuffled, multi-scale by step,
     fixed token padding, prefetched on a background thread."""
+    # private copy: the producer thread re-seeds transform.rng per step,
+    # which must not clobber the caller's object (or race a second
+    # iterator sharing the same transform)
+    transform = copy.copy(transform)
 
     def produce(q: queue.Queue):
         step = start_step
@@ -125,8 +130,9 @@ def batch_iterator(
                 # ADVICE r2)
                 # per-step augmentation stream: crop/flip draws depend
                 # on (seed, step) so a resumed run reproduces the
-                # continuous run's batches exactly (ADVICE r2)
-                transform.rng = random.Random((seed << 20) + step)
+                # continuous run's batches exactly (ADVICE r2; << 40
+                # keeps distinct seeds alias-free for any step < 2^40)
+                transform.rng = random.Random((seed << 40) + step)
                 idxs = []
                 for j in range(batch_size):
                     gpos = pos + j
@@ -532,6 +538,9 @@ def run_scst(
     )
 
     base_key = jax.random.PRNGKey(seed)
+    # private copy: re-seeded per step below; must not clobber the
+    # caller's transform object
+    transform = copy.copy(transform)
     t0 = time.time()
     for step_now in range(start_step + 1, num_steps + 1):
         # per-STEP streams (host sampling + device key) so a resumed run
@@ -541,8 +550,9 @@ def run_scst(
         # the augmentation stream too: re-seed per step so crop/flip
         # draws depend on (seed, step) — a single stream advanced from
         # the process start would replay the fresh run's early draws
-        # after a resume (same defect as the index stream, ADVICE r2)
-        transform.rng = random.Random((seed << 20) + step_now)
+        # after a resume (same defect as the index stream, ADVICE r2;
+        # << 40 keeps distinct seeds alias-free for any step < 2^40)
+        transform.rng = random.Random((seed << 40) + step_now)
         idxs = rng.choice(len(images), size=batch_size, replace=False) \
             if len(images) >= batch_size else rng.randint(0, len(images), batch_size)
         batch_imgs, batch_gts = [], []

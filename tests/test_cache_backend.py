@@ -198,3 +198,38 @@ def test_update_modes_never_touch_shared_objects(backend, tmp_path,
     # 'r+' on a path that exists nowhere still raises
     with pytest.raises(FileNotFoundError):
         backend.open("blob/missing.txt", "rb+")
+
+
+def test_readonly_update_handle_does_not_republish(backend, tmp_path,
+                                                   monkeypatch):
+    """A 'r+' handle that never writes must NOT push its bytes back to
+    the store on close: a concurrent rank's update would be silently
+    reverted by the stale re-publication (lost update)."""
+    monkeypatch.chdir(tmp_path)
+    backend.store.put("blob/cfg.txt", b"v1")
+    with backend.open("blob/cfg.txt", "rb+") as fp:
+        assert fp.read() == b"v1"
+        # another rank updates the store while our handle is open
+        backend.store.put("blob/cfg.txt", b"v2")
+    assert backend.store.fetch("blob/cfg.txt") == b"v2"  # not reverted
+
+    # a handle that DOES write still publishes
+    with backend.open("blob/cfg.txt", "rb+") as fp:
+        fp.write(b"v3")
+    assert backend.store.fetch("blob/cfg.txt") == b"v3"
+
+
+def test_pointer_refreshed_after_update(backend, tmp_path, monkeypatch):
+    """After an update through the backend, losing the local copy must
+    re-materialize the NEW content: the path->object pointer is
+    refreshed at publish time (it previously named the pre-update
+    object)."""
+    monkeypatch.chdir(tmp_path)
+    backend.store.put("blob/state.bin", b"old")
+    with backend.open("blob/state.bin", "rb") as fp:  # caches pointer
+        assert fp.read() == b"old"
+    with backend.open("blob/state.bin", "ab") as fp:
+        fp.write(b"+new")
+    os.remove(op.join(str(tmp_path), "blob", "state.bin"))  # lose local
+    with backend.open("blob/state.bin", "rb") as fp:
+        assert fp.read() == b"old+new"

@@ -223,7 +223,22 @@ def _cli_output_line(r):
     return m.group(1).strip()
 
 
-def test_video_multiframe_cli_caption_parity(ws_ext):
+@pytest.fixture(scope="session")
+def video_fwd_ref_caption(ws_ext):
+    """Forward-order reference-CLI video caption, shared by the parity
+    test and the frame-order sanity test (one subprocess run)."""
+    payload = {
+        "type": "test_git_inference_single_image",
+        "image_path": ws_ext["frames"],
+        "model_name": E.VIDEO_MODEL_NAME,
+        "prefix": "",
+    }
+    r = E.run_reference_cli(ws_ext["ws"], ws_ext["hf_home"], "inference", payload)
+    _check(r, "reference video CLI (forward)")
+    return _cli_output_line(r)
+
+
+def test_video_multiframe_cli_caption_parity(ws_ext, video_fwd_ref_caption):
     """6-frame video captioning on a num_image_with_embedding=6 model
     (randomized temporal embeddings, so frame ORDER matters) through
     both single-image CLIs (reference inference.py:75-80)."""
@@ -233,16 +248,14 @@ def test_video_multiframe_cli_caption_parity(ws_ext):
         "model_name": E.VIDEO_MODEL_NAME,
         "prefix": "",
     }
-    r = E.run_reference_cli(ws_ext["ws"], ws_ext["hf_home"], "inference", payload)
-    _check(r, "reference video CLI")
-    ref_cap = _cli_output_line(r)
+    ref_cap = video_fwd_ref_caption
     r = E.run_gitax_cli(ws_ext["ws"], ws_ext["hf_home"], "inference", payload)
     _check(r, "gitax video CLI")
     assert len(ref_cap.split()) >= 3
     assert ref_cap == _cli_output_line(r)
 
 
-def test_video_frame_order_matters(ws_ext):
+def test_video_frame_order_matters(ws_ext, video_fwd_ref_caption):
     """Sanity for the video fixture itself: reversed frames change the
     reference caption (otherwise temporal-embedding bugs are invisible
     to the parity test above)."""
@@ -259,18 +272,10 @@ def test_video_frame_order_matters(ws_ext):
     _check(r, "gitax video CLI (reversed)")
     assert rev_ref == _cli_output_line(r)
     # the actual sanity claim: reversed frames produce a DIFFERENT
-    # caption than forward frames (if the randomized temporal embeddings
-    # ever silently stop applying, frame order becomes a no-op and the
+    # caption than forward frames (if the temporal embeddings ever
+    # silently stop applying, frame order becomes a no-op and the
     # parity test above would go blind)
-    fwd = {
-        "type": "test_git_inference_single_image",
-        "image_path": ws_ext["frames"],
-        "model_name": E.VIDEO_MODEL_NAME,
-        "prefix": "",
-    }
-    r = E.run_reference_cli(ws_ext["ws"], ws_ext["hf_home"], "inference", fwd)
-    _check(r, "reference video CLI (forward)")
-    assert rev_ref != _cli_output_line(r)
+    assert rev_ref != video_fwd_ref_caption
 
 
 def test_trie_classification_cli_parity(ws_ext):

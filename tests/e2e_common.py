@@ -511,8 +511,27 @@ def extend_workspace_families(ws, vocab):
     return {"frames": frames, "imagenet_names": names}
 
 
+def strip_remote_tpu_env(env):
+    """Make a child interpreter immune to the remote-TPU relay.
+
+    The container's sitecustomize registers a remote-TPU PJRT plugin in
+    EVERY python process when PALLAS_AXON_POOL_IPS is set, and jax's
+    backend init then dials the relay even under JAX_PLATFORMS=cpu
+    (backends() initializes all registered plugins).  If the relay is
+    wedged — e.g. a killed TPU client left the terminal session locked
+    — every cpu-only child subprocess hangs until its timeout.  The
+    parent pytest process is protected by conftest's
+    jax.config.update('jax_platforms', 'cpu'); children get protection
+    by removing the registration trigger before the interpreter starts.
+    """
+    for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+              "AXON_LOOPBACK_RELAY", "AXON_POOL_SVC_OVERRIDE"):
+        env.pop(k, None)
+    return env
+
+
 def run_reference_cli(ws, hf_home, module, payload, timeout=600, extra_env=None):
-    env = dict(os.environ)
+    env = strip_remote_tpu_env(dict(os.environ))
     env["PYTHONPATH"] = REFERENCE_ROOT + os.pathsep + STUB_DIR
     env["HF_HOME"] = hf_home
     env["TRANSFORMERS_OFFLINE"] = "1"
@@ -528,7 +547,7 @@ def run_reference_cli(ws, hf_home, module, payload, timeout=600, extra_env=None)
 
 
 def run_gitax_cli(ws, hf_home, module, payload, timeout=900):
-    env = dict(os.environ)
+    env = strip_remote_tpu_env(dict(os.environ))
     env["PYTHONPATH"] = REPO_ROOT
     env["HF_HOME"] = hf_home
     env["JAX_PLATFORMS"] = "cpu"

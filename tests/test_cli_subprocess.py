@@ -17,7 +17,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_cli(module, param, cwd):
-    env = dict(os.environ)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from e2e_common import strip_remote_tpu_env
+
+    env = strip_remote_tpu_env(dict(os.environ))
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(

@@ -20,7 +20,10 @@ print("DIR=%s ELAPSED=%.4f" % (d, time.time() - t0))
 
 
 def _run(env):
-    full = dict(os.environ, **env)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from e2e_common import strip_remote_tpu_env
+
+    full = strip_remote_tpu_env(dict(os.environ, **env))
     full.pop("XLA_FLAGS", None)  # no virtual-device mesh in the child
     out = subprocess.run(
         [sys.executable, "-c", SCRIPT],

@@ -102,7 +102,9 @@ def ws(tmp_path_factory):
 
 
 def _launch(ws, rank, world, out_tsv, extra_env=None):
-    env = dict(os.environ)
+    from e2e_common import strip_remote_tpu_env
+
+    env = strip_remote_tpu_env(dict(os.environ))
     env["PYTHONPATH"] = REPO_ROOT
     env["HF_HOME"] = ws["hf_home"]
     env["JAX_PLATFORMS"] = "cpu"

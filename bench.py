@@ -34,6 +34,41 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/gitax_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+
+def _backend_init_watchdog(seconds=None):
+    """Fail fast instead of hanging if the remote-TPU relay is wedged.
+
+    Backend init blocks forever inside make_c_api_client when the
+    relay's terminal is unreachable (observed after a TPU client was
+    killed mid-compile) — and it triggers at IMPORT time via gitax's
+    module-level jnp constants, so this must arm before those imports.
+    A silent hang stalls the driver; emit a diagnostic JSON bench line
+    and exit instead."""
+    import threading
+
+    seconds = seconds or int(os.environ.get("GITAX_BENCH_INIT_TIMEOUT_S",
+                                            "300"))
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "GIT_LARGE COCO caption inference",
+                "value": 0,
+                "unit": "images/sec/chip",
+                "vs_baseline": 0,
+                "error": "jax backend init exceeded {}s — remote-TPU "
+                         "relay unreachable".format(seconds),
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    jax.devices()
+    done.set()
+
+
+_backend_init_watchdog()
+
 from gitax.decode import BeamSearchConfig
 from gitax.models import GitModel
 from gitax.models.config import get_model_param

@@ -46,16 +46,24 @@ def _backend_init_watchdog(seconds=None):
     and exit instead."""
     import threading
 
-    seconds = seconds or int(os.environ.get("GITAX_BENCH_INIT_TIMEOUT_S",
-                                            "300"))
+    if seconds is None:
+        try:
+            seconds = int(float(os.environ.get(
+                "GITAX_BENCH_INIT_TIMEOUT_S", "300")))
+        except ValueError:
+            seconds = 300
+    if seconds <= 0:  # 0 / negative = watchdog disabled
+        return
     done = threading.Event()
 
     def watch():
         if not done.wait(seconds):
+            # distinct metric name: a driver aggregating the headline
+            # series must not record this as a real 0-img/s datapoint
             print(json.dumps({
-                "metric": "GIT_LARGE COCO caption inference",
+                "metric": "bench infrastructure failure",
                 "value": 0,
-                "unit": "images/sec/chip",
+                "unit": "none",
                 "vs_baseline": 0,
                 "error": "jax backend init exceeded {}s — remote-TPU "
                          "relay unreachable".format(seconds),

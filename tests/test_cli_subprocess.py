@@ -10,6 +10,7 @@ import sys
 
 import pytest
 
+from e2e_common import strip_remote_tpu_env
 from gitax.common import json_dump
 from gitax.io.tsv import tsv_writer
 
@@ -17,9 +18,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_cli(module, param, cwd):
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    from e2e_common import strip_remote_tpu_env
-
     env = strip_remote_tpu_env(dict(os.environ))
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"

@@ -4,6 +4,8 @@ import os
 import subprocess
 import sys
 
+from e2e_common import strip_remote_tpu_env
+
 SCRIPT = """
 import os, sys, time
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -20,9 +22,6 @@ print("DIR=%s ELAPSED=%.4f" % (d, time.time() - t0))
 
 
 def _run(env):
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from e2e_common import strip_remote_tpu_env
-
     full = strip_remote_tpu_env(dict(os.environ, **env))
     full.pop("XLA_FLAGS", None)  # no virtual-device mesh in the child
     out = subprocess.run(

@@ -273,19 +273,23 @@ class GitModel(object):
             beam = beam or BeamSearchConfig()
             if decode_kernel:
                 # gate BEFORE prefill: shapes are static here, and when
-                # decode_step will fall back (batch alignment, or a
-                # video/high-res memory that blows the kernel's VMEM
-                # budget) building the kernel-layout memory K/V would
-                # duplicate the whole memory in HBM for nothing
-                # (~900 MB for a B=32 video batch)
-                from ..ops.decode_attention import kernel_fits
+                # decode_step will fall back (batch alignment, a memory
+                # past the bf16 auto-enable crossover, or an extreme
+                # t_max*beams VMEM blowup) building the kernel-layout
+                # memory K/V would duplicate the whole memory in HBM for
+                # nothing (~900 MB for a B=32 video batch).  decode_step
+                # re-derives the same choice from the cache shapes.
+                from ..ops.decode_attention import kernel_fits, kernel_pays
 
                 mem_isz = 1 if decode_kernel == "int8" else jnp.dtype(dtype).itemsize
-                if not kernel_fits(
-                    visual.shape[0], beam.num_beams, self.cfg.num_heads,
-                    self.cfg.head_dim, visual.shape[1], beam.max_steps,
-                    mem_itemsize=mem_isz,
-                    act_itemsize=jnp.dtype(dtype).itemsize,
+                if not (
+                    kernel_pays(visual.shape[1], decode_kernel == "int8")
+                    and kernel_fits(
+                        visual.shape[0], beam.num_beams, self.cfg.num_heads,
+                        self.cfg.head_dim, visual.shape[1], beam.max_steps,
+                        mem_itemsize=mem_isz,
+                        act_itemsize=jnp.dtype(dtype).itemsize,
+                    )
                 ):
                     decode_kernel = False
             logits, cache = self.prefill(

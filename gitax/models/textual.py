@@ -323,6 +323,18 @@ class KVCache(NamedTuple):
         return self.mem_k[0].shape[0]
 
 
+def _pad_m8(kv_mem):
+    """Pad the kernel-layout memory's M axis to a multiple of 8 — the
+    fused decode kernel's DMAs slice M into the sublane tiling, which
+    must be 8-aligned (the padded columns are masked to -inf by the
+    kernel's memory bias; physically the tiled HBM buffer carries the
+    same sublane padding either way, so this costs nothing)."""
+    pad8 = -kv_mem.shape[2] % 8
+    if pad8:
+        kv_mem = jnp.pad(kv_mem, ((0, 0), (0, 0), (0, pad8), (0, 0)))
+    return kv_mem
+
+
 def prefill(
     params,
     visual_features,  # [B, M, Dv]
@@ -403,9 +415,10 @@ def prefill(
                 # ops/decode_attention.py)
                 from ..ops.decode_attention import quantize_memory
 
-                outs = outs + quantize_memory(kv_mem)
+                kv_q, kv_scale = quantize_memory(kv_mem)
+                outs = outs + (_pad_m8(kv_q), kv_scale)
             else:
-                outs = outs + (kv_mem,)
+                outs = outs + (_pad_m8(kv_mem),)
         return xnew, outs
 
     x, scanned = jax.lax.scan(scan_fn, x, params["blocks"])
@@ -482,11 +495,15 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(dtype)
     use_kernel = kernel and cache.anc is not None and cache.mem_kv is not None
     if use_kernel:
-        from ..ops.decode_attention import kernel_fits
+        from ..ops.decode_attention import kernel_fits, kernel_pays
 
-        # VMEM fit at the base group size — large memories (video ~1542
-        # tokens, high-res VQA ~900-1200) must stay on the XLA path
-        use_kernel = kernel_fits(
+        # kernel_pays: int8 memory always (the kernel is its only
+        # consumer); bf16 memory only below the measured M crossover —
+        # long-memory bf16 loops (video M=1542, high-res ~900-1200) stay
+        # on the XLA path, whose bulk batched-matmul streams win there
+        use_kernel = kernel_pays(
+            cache.mem_kv[0].shape[2], cache.mem_kv[0].dtype == jnp.int8
+        ) and kernel_fits(
             b, beams, h, dh, cache.mem_kv[0].shape[2], t_max,
             mem_itemsize=cache.mem_kv[0].dtype.itemsize,
             act_itemsize=jnp.dtype(dtype).itemsize,
@@ -523,14 +540,22 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
             plan_cells,
         )
 
+        # the kernel-layout memory is 8-padded on M at prefill (DMA
+        # sublane alignment); the bias must cover the padded columns
+        # with -inf so they never win the softmax
+        m_kv = cache.mem_kv[0].shape[2]
         if mem_bias is not None:
             kernel_bias = mem_bias  # [B, M] f32
         else:
             kernel_bias = jnp.zeros((b, m), jnp.float32)
+        if m_kv != m:
+            kernel_bias = jnp.pad(
+                kernel_bias, ((0, 0), (0, m_kv - m)), constant_values=NEG_INF
+            )
         # liveness mask computed ONCE per step, shared by every layer's
         # kernel call (structural sharing, not optimizer-dependent CSE)
         _, r, _ = plan_cells(
-            b, beams, h, dh, m, t_max,
+            b, beams, h, dh, m_kv, t_max,
             mem_itemsize=cache.mem_kv[0].dtype.itemsize,
             act_itemsize=jnp.dtype(dtype).itemsize,
         )

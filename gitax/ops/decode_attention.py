@@ -22,21 +22,38 @@ f32 here vs per-contraction bf16 rounding in XLA (token-identical in
 on-chip runs, not guaranteed bit-wise).  Parity is asserted by tests in
 interpret mode and by token-equality runs on chip.
 
+Memory streaming: the memory k|v stays in HBM (`memory_space=ANY`) and
+streams through a double-buffered per-head [G, M, 2Dh] VMEM scratch —
+one strided DMA descriptor per head covers all G beam groups, and head
+hi+1's blocks fly while head hi computes.  This keeps the per-cell VMEM
+footprint O(M) instead of O(H*M), so video (M=1542) and high-res VQA
+(M~900-1200) memories fit, and it frees VMEM for WIDER cells (up to 64
+rows vs 32 for the retired resident-memory layout) — bigger MXU dots,
+fewer cells.  Measured on v5e (GIT_LARGE beam-4 B=32, M=264):
+519.2/519.9 img/s resident vs 522.4/523.5 streamed across interleaved
+A/B passes, so the streamed layout replaced the resident one outright
+in round 3.
+
 Bandwidth notes (v5e trace, GIT_LARGE beam-4 B=32): the decode loop's
 dominant HBM stream is the MEMORY K/V — 25 MB/layer re-read every step
-(6 layers = 152 MB/step), dwarfing the 9.4 MB text cache.  Two
-mitigations live here:
+(6 layers = 152 MB/step), dwarfing the 9.4 MB text cache.  `mem_kv`
+may arrive INT8 with per-(batch, head, k|v) scales (quantized once at
+prefill; see textual.prefill(kernel_memory='int8')) — halves the
+dominant stream.  Measured NEUTRAL on v5e at every shape tried (512.1
+vs 512.7 img/s at M=257 round 2; 94.3 vs 94.3 and 83.5 vs 83.5 on the
+high-res/video families round 3): the in-kernel int8->bf16
+convert+scale costs back roughly the DMA it saves at this chip's
+bandwidth/VPU ratio, so the mode stays opt-in — it pays on
+bandwidth-poorer parts.  (Token output matched the bf16-memory path
+exactly in all on-chip runs.)
 
-  * `mem_kv` may arrive INT8 with per-(batch, head, k|v) scales
-    (quantized once at prefill; see textual.prefill(kernel_memory=
-    'int8')) — halves the dominant stream.  Measured NEUTRAL on v5e
-    (512.1 vs 512.7 img/s with dequant-once-per-head and the phantom
-    score-staging scratch removed from the int8 VMEM budget, which lets
-    int8 cells widen further): the in-kernel int8->bf16 convert+scale
-    costs back roughly the DMA it saves at this chip's bandwidth/VPU
-    ratio, so the mode stays opt-in — it pays on bandwidth-poorer
-    parts.  (Token output matched the bf16-memory path exactly in the
-    on-chip runs.)
+When the kernel engages (see `kernel_pays`): always for int8 memory
+(the in-kernel dequant is the only consumer); for bf16 memory only at
+M <= KERNEL_AUTO_MAX_MEM — measured on v5e, the kernel wins at M=264
+(+0.7% end-to-end; the in-place cache update is the round-2 491->512
+win) but loses ~1-2.5% at M=1208/1542 where the memory stream dwarfs
+the cache copy and XLA's bulk batched-matmul streams win; long-memory
+bf16 decode therefore stays on the XLA path.
 
 Mosaic-friendly layout tricks:
 
@@ -50,14 +67,15 @@ Mosaic-friendly layout tricks:
     vector reshapes Mosaic cannot lower.
   * TPU DMA slices on the sublane axis must be 8-aligned, so each grid
     cell owns R = lcm(beams, 8) cache rows = `groups` beam groups,
-    widened up to 32 rows when the VMEM budget allows (fewer, larger
-    cells amortize DMA latency — the loop is latency-bound, ~77 us per
-    invocation at 8 cells).  Cross-group (row, key) slots are simply
-    masked to -inf before the softmax: the flat liveness mask (computed
-    once per step in XLA) already encodes ancestry selection, and an
-    in-kernel iota mask does the same for the concatenated per-group
-    memories — the probability rows come out exactly as if each group
-    were processed alone.
+    widened up to 64 rows when the VMEM budget allows (fewer, larger
+    cells amortize DMA latency and feed the MXU bigger row tiles), and
+    the memory's M axis is 8-padded at prefill (textual._pad_m8; the
+    padded columns are bias-masked to -inf).  Cross-group (row, key)
+    slots are simply masked to -inf before the softmax: the flat
+    liveness mask (computed once per step in XLA) already encodes
+    ancestry selection, and an in-kernel iota mask does the same for
+    the concatenated per-group memories — the probability rows come
+    out exactly as if each group were processed alone.
 """
 
 from __future__ import annotations
@@ -75,19 +93,24 @@ NEG_INF = -1e30
 # by the pipeline; total VMEM is ~16 MB/core)
 _VMEM_BUDGET = 10 * 1024 * 1024
 
+# bf16-memory auto-enable ceiling for the kernel (see module docstring:
+# measured win at M=264, measured loss at M=1208/1542; int8 memory
+# always uses the kernel — it is the only consumer of the quantized
+# layout)
+KERNEL_AUTO_MAX_MEM = 640
+
 
 def _cell_vmem_bytes(g, beams, h, dh, m, t_max, mem_itemsize, act_itemsize):
     r = g * beams
     lanes = h * 2 * dh
-    mem_block = g * h * m * 2 * dh * mem_itemsize
     qkl_blocks = r * lanes * act_itemsize * 3  # qz, kvn, ctx
     live_block = r * t_max * r  # int8
     kv_scr = t_max * r * lanes * act_itemsize
-    # memory-score staging scratch exists only in the bf16-memory mode
-    # (mem_itemsize 1 == int8: scores computed in phase 2, no staging)
-    mem_s_scr = 0 if mem_itemsize == 1 else h * r * g * m * 4
+    # memory stays in HBM; only the double-buffered per-head block
+    # ([2, G, M, 2Dh] scratch) is resident — O(M), not O(H*M)
+    mem_scr = 2 * g * m * 2 * dh * mem_itemsize
     # input/output blocks are double-buffered across grid cells
-    return 2 * (mem_block + qkl_blocks + live_block) + kv_scr + mem_s_scr
+    return 2 * (qkl_blocks + live_block) + kv_scr + mem_scr
 
 
 def _kernel(
@@ -96,13 +119,17 @@ def _kernel(
     qz_ref,  # [1, R, H*2Dh] zero-extended pre-scaled queries
     kvn_ref,  # [1, R, H*2Dh] new k|v row (pre-interleaved)
     live_ref,  # [1, R, T*R] int8: 1 iff text slot (t, j) is selected
-    mem_kv_ref,  # [1, G, H, M, 2Dh] interleaved memory k|v per group
+    mem_kv_hbm,  # [B, H, M, 2Dh] interleaved memory k|v in ANY space
     mem_bias_ref,  # [1, 1, G*M] f32 additive memory bias (group-concat)
     kv_hbm,  # [T, BK, H*2Dh] in HBM (aliased in/out) — full array
     ctx_ref,  # out: [1, R, H*2Dh] (v lanes carry the context)
     kv_out,  # out: alias of kv_hbm
-    *scratch,  # kv_scr [T,R,H*2Dh], row_scr [1,R,H*2Dh],
-    #           (bf16 mode only) mem_s_scr [H,R,G*M] f32, DMA sems (2,)
+    kv_scr,  # VMEM [T, R, H*2Dh] — this cell's text-cache rows
+    row_scr,  # VMEM [1, R, H*2Dh] — staging for the single-row writeback
+    mem_scr,  # VMEM [2, G, M, 2Dh] — double-buffered per-head memory
+    sems,  # DMA (2,) — cache read / row write
+    msems,  # DMA (2,) — per-buffer memory streams
+    *,
     beams: int,
     groups: int,
     num_heads: int,
@@ -110,22 +137,29 @@ def _kernel(
     t_max: int,
     mem_int8: bool,
 ):
-    if mem_int8:
-        kv_scr, row_scr, sems = scratch
-        mem_s_scr = None
-    else:
-        kv_scr, row_scr, mem_s_scr, sems = scratch
     cell = pl.program_id(0)
     pos = pos_ref[0]
     h, dh = num_heads, head_dim
     r = beams * groups  # rows per cell (8-aligned for DMA)
-    m = mem_kv_ref.shape[3]
+    m = mem_kv_hbm.shape[2]
 
     # ---- fetch this cell's cache rows (strided DMA, T chunks) ----
     read = pltpu.make_async_copy(
         kv_hbm.at[:, pl.ds(cell * r, r), :], kv_scr, sems.at[0]
     )
     read.start()
+
+    # memory k|v streams one head at a time into the double-buffered
+    # scratch: one strided descriptor covers all G groups (batch-dim
+    # stride); head hi+1's blocks fly while head hi computes
+    def _mem_copy(hi, buf):
+        return pltpu.make_async_copy(
+            mem_kv_hbm.at[pl.ds(cell * groups, groups), hi],
+            mem_scr.at[buf],
+            msems.at[buf],
+        )
+
+    _mem_copy(0, 0).start()
 
     live = live_ref[0] != 0  # [R, T*R]
     mem_bias = mem_bias_ref[0, 0]  # [G*M] f32
@@ -138,11 +172,11 @@ def _kernel(
     dt = qz_ref.dtype
     kv_lane = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * dh), 1) < dh
 
-    def mem_head(hi):
+    def mem_head(hi, buf):
         """[G*M, 2Dh] dequantized memory k|v for head hi."""
         parts = []
         for gi in range(groups):
-            x = mem_kv_ref[0, gi, hi]
+            x = mem_scr[buf, gi]
             if mem_int8:
                 # per-(batch, head) k|v scales from SMEM; k lanes get
                 # s_k, v lanes s_v via a lane-split select
@@ -153,19 +187,6 @@ def _kernel(
                 x = x.astype(dt) * scl
             parts.append(x)
         return jnp.concatenate(parts, axis=0)
-
-    if not mem_int8:
-        # phase 1 (overlaps the cache DMA): memory scores for every head
-        for hi in range(h):
-            lo = hi * 2 * dh
-            qz_h = qz_ref[0][:, lo : lo + 2 * dh]  # [R, 2Dh]
-            mem_s = jax.lax.dot_general(
-                qz_h, mem_head(hi), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [R, G*M] (v lanes contribute zero)
-            mem_s_scr[hi] = jnp.where(
-                mem_ok, mem_s + mem_bias[None, :], NEG_INF
-            )
 
     new_row = kvn_ref[...]  # [1, R, H*2Dh]
     read.wait()
@@ -179,24 +200,21 @@ def _kernel(
     )
     write.start()
 
-    # phase 2: text scores, joint softmax, both context contractions.
-    # In the int8-memory mode the memory scores also live here so each
-    # head's dequantized block is built ONCE and feeds both dots
-    # (dequantizing per use measurably costs more than the DMA saved).
+    # per head: memory scores (block built once, feeds both dots), text
+    # scores, joint softmax, both context contractions
     ctx_parts = []
     for hi in range(h):
         lo = hi * 2 * dh
         qz_h = qz_ref[0][:, lo : lo + 2 * dh]  # [R, 2Dh]
-        if mem_int8:
-            mem_h = mem_head(hi)
-            mem_s = jax.lax.dot_general(
-                qz_h, mem_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            mem_s = jnp.where(mem_ok, mem_s + mem_bias[None, :], NEG_INF)
-        else:
-            mem_h = mem_head(hi)
-            mem_s = mem_s_scr[hi]  # [R, G*M]
+        _mem_copy(hi, hi % 2).wait()
+        if hi + 1 < h:
+            _mem_copy(hi + 1, (hi + 1) % 2).start()
+        mem_h = mem_head(hi, hi % 2)
+        mem_s = jax.lax.dot_general(
+            qz_h, mem_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, G*M] (v lanes contribute zero)
+        mem_s = jnp.where(mem_ok, mem_s + mem_bias[None, :], NEG_INF)
         kv_h = kv_scr[:, :, lo : lo + 2 * dh].reshape(
             t_max * r, 2 * dh
         )  # collapse leading dims — supported reshape
@@ -254,10 +272,9 @@ def kernel_fits(
     act_itemsize: int = 2,
 ) -> bool:
     """Whether the kernel's per-cell working set fits VMEM at the BASE
-    group size.  Large memories (video: ~1542 tokens, high-res VQA:
-    ~900-1200) can blow the per-cell memory block even ungrouped —
-    decode_step must then stay on the XLA path instead of failing at
-    Mosaic compile time."""
+    group size.  The streamed memory keeps the footprint O(M), so this
+    holds for every GIT shape including video (M=1542); it can only
+    fail for extreme t_max * beams products."""
     import math
 
     if not kernel_supported(batch, beams):
@@ -272,18 +289,26 @@ def kernel_fits(
     )
 
 
+def kernel_pays(num_memory: int, mem_int8: bool) -> bool:
+    """Measured auto-enable policy (see module docstring): int8 memory
+    always (the kernel is its only consumer); bf16 memory only below
+    the M crossover where the in-place cache update outweighs the
+    per-head DMA chain."""
+    return mem_int8 or num_memory <= KERNEL_AUTO_MAX_MEM
+
+
 def plan_cells(batch, beams, num_heads, head_dim, num_memory, t_max,
                mem_itemsize=2, act_itemsize=2):
     """(groups, rows, cells) the kernel will use: the base 8-aligned
-    beam-group count, widened (up to 32 rows) where divisibility and the
+    beam-group count, widened (up to 64 rows) where divisibility and the
     VMEM budget allow — fewer, larger cells amortize per-cell DMA
-    latency."""
+    latency and feed the MXU bigger row tiles."""
     import math
 
     g = 8 // math.gcd(beams, 8)  # beam groups per cell (DMA alignment)
     assert batch % g == 0, (batch, beams, g)
     while (
-        g * beams < 32
+        g * beams < 64
         and batch % (2 * g) == 0
         and _cell_vmem_bytes(
             2 * g, beams, num_heads, head_dim, num_memory, t_max,
@@ -336,6 +361,17 @@ def decode_attention(
     t_max, bk, _ = txt_kv.shape
     b = bk // beams
     h, dh = num_heads, head_dim
+    if mem_kv.shape[2] % 8:
+        # the per-head HBM->VMEM DMA slices the M axis into the sublane
+        # tiling, which Mosaic requires 8-aligned.  prefill() pads the
+        # kernel-layout memory once so this is a no-op in the decode
+        # loop; direct callers get correctness (padded columns are
+        # bias-masked to -inf) at the cost of a per-call pad copy.
+        pad8 = -mem_kv.shape[2] % 8
+        mem_kv = jnp.pad(mem_kv, ((0, 0), (0, 0), (0, pad8), (0, 0)))
+        mem_bias = jnp.pad(
+            mem_bias, ((0, 0), (0, pad8)), constant_values=NEG_INF
+        )
     m = mem_kv.shape[2]
     mem_int8 = mem_kv.dtype == jnp.int8
     assert not mem_int8 or mem_scale is not None
@@ -360,9 +396,7 @@ def decode_attention(
             pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos, scl: (i, 0, 0)),
             pl.BlockSpec((1, r, h * 2 * dh), lambda i, pos, scl: (i, 0, 0)),
             pl.BlockSpec((1, r, t_max * r), lambda i, pos, scl: (i, 0, 0)),
-            pl.BlockSpec(
-                (1, g, h, m, 2 * dh), lambda i, pos, scl: (i, 0, 0, 0, 0)
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, g * m), lambda i, pos, scl: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -373,17 +407,10 @@ def decode_attention(
         scratch_shapes=[
             pltpu.VMEM((t_max, r, h * 2 * dh), txt_kv.dtype),
             pltpu.VMEM((1, r, h * 2 * dh), txt_kv.dtype),
-        ]
-        + (
-            # memory-score staging exists only in the bf16-memory mode
-            # (int8 computes the scores in phase 2 where the dequantized
-            # block is built once) — allocating it anyway would charge
-            # phantom VMEM against exactly the mode meant for tight parts
-            []
-            if mem_int8
-            else [pltpu.VMEM((h, r, g * m), jnp.float32)]
-        )
-        + [pltpu.SemaphoreType.DMA((2,))],
+            pltpu.VMEM((2, g, m, 2 * dh), mem_kv.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     kernel = functools.partial(
         _kernel,
@@ -409,7 +436,7 @@ def decode_attention(
         qz.reshape(cells, r, h * 2 * dh),
         kv_new.reshape(cells, r, h * 2 * dh),
         live.reshape(cells, r, t_max * r),
-        mem_kv.reshape(cells, g, h, m, 2 * dh),
+        mem_kv,
         mem_bias.reshape(cells, 1, g * m),
         txt_kv,
     )

@@ -137,7 +137,8 @@ class CaptionEngine(object):
         # native C++ decode path (fixed resize+crop AND MinMax variants);
         # normalization then runs fused on device and the host->device
         # transfer is uint8 (4x smaller).  The MinMax engine is otherwise
-        # PIL-decode-bound (~11 img/s on a 1-vCPU host, measured).
+        # PIL-decode-bound (15.2 img/s native vs 10.8 PIL on a 1-vCPU
+        # host, measured round 2).
         if use_native is None:
             from .. import native
 

@@ -197,15 +197,30 @@ def test_generate_int8_kernel_close_to_xla():
     )
 
 
-def test_large_memory_falls_back_to_xla():
-    """Video/high-res-scale memories blow the kernel's VMEM budget; the
-    decode step must fall back to the XLA path (no pallas_call — this
-    test runs WITHOUT interpret mode, so reaching the kernel would
-    fail on CPU)."""
+def test_kernel_pays_policy():
+    """Measured auto-enable policy: bf16 memory only below the M
+    crossover (the kernel wins at M=264, loses at M=1208/1542 on v5e);
+    int8 memory always (the kernel is its only consumer)."""
+    from gitax.ops.decode_attention import KERNEL_AUTO_MAX_MEM, kernel_pays
+
+    assert kernel_pays(264, mem_int8=False)   # GIT_LARGE captioning
+    assert kernel_pays(KERNEL_AUTO_MAX_MEM, mem_int8=False)
+    assert not kernel_pays(1208, mem_int8=False)  # high-res VQA
+    assert not kernel_pays(1544, mem_int8=False)  # video
+    assert kernel_pays(1544, mem_int8=True)
+
+
+def test_large_memory_bf16_falls_back_to_xla():
+    """Video/high-res-scale bf16 memories are past the kernel's measured
+    auto-enable crossover; the decode step must fall back to the XLA
+    path (no pallas_call — this test runs WITHOUT interpret mode, so
+    reaching the kernel would fail on CPU)."""
     from gitax.ops.decode_attention import kernel_fits
 
-    assert not kernel_fits(8, 4, 12, 64, 1542, 64)  # GIT video shape
-    assert kernel_fits(32, 4, 12, 64, 257, 24)      # GIT_LARGE captioning
+    # the streamed memory keeps the VMEM footprint O(M): every GIT
+    # shape fits, including video
+    assert kernel_fits(8, 4, 12, 64, 1544, 64)
+    assert kernel_fits(32, 4, 12, 64, 264, 24)
 
     # real decoder head geometry (12 heads x 64) and a video-scale
     # memory: 156/4 = 39x39 grid + cls = 1522 tokens
@@ -221,9 +236,67 @@ def test_large_memory_falls_back_to_xla():
     )
     model = GitModel(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    assert not kernel_fits(2, 4, 12, 64, 1522, 16, mem_itemsize=4, act_itemsize=4)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(2, 156, 156, 3), jnp.float32)
+    beam = BeamSearchConfig(num_beams=4, max_steps=4, eos_id=2)
+    seqs_xla, _ = model.generate(params, img, beam=beam, sos_id=1)
+    seqs_ker, _ = model.generate(
+        params, img, beam=beam, sos_id=1, decode_kernel=True
+    )
+    np.testing.assert_array_equal(np.asarray(seqs_xla), np.asarray(seqs_ker))
+
+
+def test_large_memory_int8_uses_kernel():
+    """decode_kernel='int8' engages the kernel even past the bf16
+    crossover (the quantized layout has no XLA consumer) — token-equal
+    with the XLA bf16 path at these scales, and the 1522-token memory
+    exercises the M-axis 8-padding (1522 -> 1528)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = GitConfig(
+        encoder=ViTConfig(4, 32, 1, 2, 156),
+        visual_feature_size=32,
+        vocab_size=64,
+        hidden_size=768,
+        num_layers=1,
+        num_heads=12,
+        feedforward_size=128,
+        max_caption_length=16,
+    )
+    model = GitModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params["textual"]["embedding"]["words"] = (
+        params["textual"]["embedding"]["words"] * 20.0
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 156, 156, 3), jnp.float32)
+    beam = BeamSearchConfig(num_beams=4, max_steps=4, eos_id=2)
+    seqs_xla, _ = model.generate(params, img, beam=beam, sos_id=1)
+    with pltpu.force_tpu_interpret_mode():
+        seqs_ker, _ = model.generate(
+            params, img, beam=beam, sos_id=1, decode_kernel="int8"
+        )
+    np.testing.assert_array_equal(np.asarray(seqs_xla), np.asarray(seqs_ker))
+
+
+def test_unaligned_batch_falls_back_to_xla():
+    """Batches the 8-aligned row DMA cannot split fall back to the XLA
+    path (no pallas_call — this test runs WITHOUT interpret mode, so
+    reaching either kernel would fail on CPU)."""
+    cfg = GitConfig(
+        encoder=ViTConfig(16, 32, 1, 2, 32),
+        visual_feature_size=32,
+        vocab_size=64,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=2,
+        feedforward_size=64,
+        max_caption_length=16,
+    )
+    model = GitModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(3, 32, 32, 3), jnp.float32)  # b=3, g=2
     beam = BeamSearchConfig(num_beams=4, max_steps=4, eos_id=2)
     seqs_xla, _ = model.generate(params, img, beam=beam, sos_id=1)
     seqs_ker, _ = model.generate(

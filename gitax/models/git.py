@@ -279,14 +279,22 @@ class GitModel(object):
                 # memory K/V would duplicate the whole memory in HBM for
                 # nothing (~900 MB for a B=32 video batch).  decode_step
                 # re-derives the same choice from the cache shapes.
-                from ..ops.decode_attention import kernel_fits, kernel_pays
+                from ..ops.decode_attention import (
+                    kernel_fits,
+                    kernel_pays,
+                    pad_m8_len,
+                )
 
                 mem_isz = 1 if decode_kernel == "int8" else jnp.dtype(dtype).itemsize
+                # evaluate on the PADDED M — exactly what decode_step
+                # will see in the cache shapes, so the two gates cannot
+                # diverge near a boundary
+                m_kernel = pad_m8_len(visual.shape[1])
                 if not (
-                    kernel_pays(visual.shape[1], decode_kernel == "int8")
+                    kernel_pays(m_kernel, decode_kernel == "int8")
                     and kernel_fits(
                         visual.shape[0], beam.num_beams, self.cfg.num_heads,
-                        self.cfg.head_dim, visual.shape[1], beam.max_steps,
+                        self.cfg.head_dim, m_kernel, beam.max_steps,
                         mem_itemsize=mem_isz,
                         act_itemsize=jnp.dtype(dtype).itemsize,
                     )

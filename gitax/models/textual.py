@@ -309,6 +309,10 @@ class KVCache(NamedTuple):
     # stream — the memory is re-read every step).
     mem_kv: Optional[tuple] = None
     mem_scale: Optional[tuple] = None
+    # [B, M8] f32 — the kernel's additive memory bias (memory_valid as
+    # 0/-inf, -inf over the 8-padding), built ONCE at prefill so the
+    # decode loop never rebuilds a loop-invariant tensor per step
+    mem_bias_k: Optional[jax.Array] = None
 
     @property
     def max_text_len(self):
@@ -321,18 +325,6 @@ class KVCache(NamedTuple):
     @property
     def batch(self):
         return self.mem_k[0].shape[0]
-
-
-def _pad_m8(kv_mem):
-    """Pad the kernel-layout memory's M axis to a multiple of 8 — the
-    fused decode kernel's DMAs slice M into the sublane tiling, which
-    must be 8-aligned (the padded columns are masked to -inf by the
-    kernel's memory bias; physically the tiled HBM buffer carries the
-    same sublane padding either way, so this costs nothing)."""
-    pad8 = -kv_mem.shape[2] % 8
-    if pad8:
-        kv_mem = jnp.pad(kv_mem, ((0, 0), (0, 0), (0, pad8), (0, 0)))
-    return kv_mem
 
 
 def prefill(
@@ -408,6 +400,10 @@ def prefill(
         )
         outs = (k[:, :, :m], v[:, :, :m], txt_kv)
         if kernel_memory:
+            # M 8-padded for the kernel's DMA sublane alignment (see
+            # ops/decode_attention.pad_memory_m8)
+            from ..ops.decode_attention import pad_memory_m8
+
             kv_mem = jnp.concatenate([k[:, :, :m], v[:, :, :m]], axis=-1)
             if kernel_memory == "int8":
                 # quantize the decode loop's dominant HBM stream once at
@@ -416,9 +412,9 @@ def prefill(
                 from ..ops.decode_attention import quantize_memory
 
                 kv_q, kv_scale = quantize_memory(kv_mem)
-                outs = outs + (_pad_m8(kv_q), kv_scale)
+                outs = outs + (pad_memory_m8(kv_q), kv_scale)
             else:
-                outs = outs + (_pad_m8(kv_mem),)
+                outs = outs + (pad_memory_m8(kv_mem),)
         return xnew, outs
 
     x, scanned = jax.lax.scan(scan_fn, x, params["blocks"])
@@ -428,6 +424,15 @@ def prefill(
     n_layers = mem_k.shape[0]
     # per-layer tuples (see KVCache docstring); the unstack copies once
     # at prefill, never inside the decode loop
+    mem_bias_k = None
+    if kernel_memory:
+        from ..ops.decode_attention import pad_memory_bias
+
+        if memory_valid is not None:
+            bias = jnp.where(memory_valid, 0.0, NEG_INF).astype(jnp.float32)
+        else:
+            bias = jnp.zeros((b, m), jnp.float32)
+        mem_bias_k = pad_memory_bias(bias, scanned[3].shape[3])
     cache = KVCache(
         mem_k=tuple(mem_k[i] for i in range(n_layers)),
         mem_v=tuple(mem_v[i] for i in range(n_layers)),
@@ -440,6 +445,7 @@ def prefill(
         mem_scale=tuple(scanned[4][i] for i in range(n_layers))
         if kernel_memory == "int8"
         else None,
+        mem_bias_k=mem_bias_k,
     )
     return logits, cache
 
@@ -540,18 +546,11 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
             plan_cells,
         )
 
-        # the kernel-layout memory is 8-padded on M at prefill (DMA
-        # sublane alignment); the bias must cover the padded columns
-        # with -inf so they never win the softmax
+        # [B, M8] kernel memory bias built once at prefill (covers the
+        # memory_valid mask AND the 8-padding with -inf)
         m_kv = cache.mem_kv[0].shape[2]
-        if mem_bias is not None:
-            kernel_bias = mem_bias  # [B, M] f32
-        else:
-            kernel_bias = jnp.zeros((b, m), jnp.float32)
-        if m_kv != m:
-            kernel_bias = jnp.pad(
-                kernel_bias, ((0, 0), (0, m_kv - m)), constant_values=NEG_INF
-            )
+        kernel_bias = cache.mem_bias_k
+        assert kernel_bias is not None and kernel_bias.shape == (b, m_kv)
         # liveness mask computed ONCE per step, shared by every layer's
         # kernel call (structural sharing, not optimizer-dependent CSE)
         _, r, _ = plan_cells(

@@ -93,6 +93,36 @@ NEG_INF = -1e30
 # by the pipeline; total VMEM is ~16 MB/core)
 _VMEM_BUDGET = 10 * 1024 * 1024
 
+# TPU DMA slices on the sublane axis must be this-aligned; the kernel's
+# per-head memory copy slices M into the sublane tiling, so the
+# kernel-layout memory's M axis is padded to this at prefill (the ONE
+# home of the alignment invariant — pad_memory_m8 below)
+_DMA_SUBLANE = 8
+
+
+def pad_memory_m8(kv_mem):
+    """Pad the kernel-layout memory's M axis ([B, H, M, 2Dh]) to the DMA
+    sublane alignment; physically free — the tiled HBM buffer carries
+    the same sublane padding either way."""
+    pad8 = -kv_mem.shape[2] % _DMA_SUBLANE
+    if pad8:
+        kv_mem = jnp.pad(kv_mem, ((0, 0), (0, 0), (0, pad8), (0, 0)))
+    return kv_mem
+
+
+def pad_memory_bias(bias, m_padded):
+    """Pad a [B, M] f32 memory bias to the kernel memory's padded M with
+    -inf, so the padded columns never win the softmax."""
+    pad8 = m_padded - bias.shape[1]
+    if pad8:
+        bias = jnp.pad(bias, ((0, 0), (0, pad8)), constant_values=NEG_INF)
+    return bias
+
+
+def pad_m8_len(m: int) -> int:
+    """The M the kernel will actually see after prefill padding."""
+    return m + (-m % _DMA_SUBLANE)
+
 # bf16-memory auto-enable ceiling for the kernel (see module docstring:
 # measured win at M=264, measured loss at M=1208/1542; int8 memory
 # always uses the kernel — it is the only consumer of the quantized
@@ -361,17 +391,13 @@ def decode_attention(
     t_max, bk, _ = txt_kv.shape
     b = bk // beams
     h, dh = num_heads, head_dim
-    if mem_kv.shape[2] % 8:
-        # the per-head HBM->VMEM DMA slices the M axis into the sublane
-        # tiling, which Mosaic requires 8-aligned.  prefill() pads the
-        # kernel-layout memory once so this is a no-op in the decode
-        # loop; direct callers get correctness (padded columns are
-        # bias-masked to -inf) at the cost of a per-call pad copy.
-        pad8 = -mem_kv.shape[2] % 8
-        mem_kv = jnp.pad(mem_kv, ((0, 0), (0, 0), (0, pad8), (0, 0)))
-        mem_bias = jnp.pad(
-            mem_bias, ((0, 0), (0, pad8)), constant_values=NEG_INF
-        )
+    if mem_kv.shape[2] % _DMA_SUBLANE:
+        # prefill() pads the kernel-layout memory once so this is a
+        # no-op in the decode loop; direct callers get correctness
+        # (padded columns are bias-masked to -inf) at the cost of a
+        # per-call pad copy.
+        mem_kv = pad_memory_m8(mem_kv)
+        mem_bias = pad_memory_bias(mem_bias, mem_kv.shape[2])
     m = mem_kv.shape[2]
     mem_int8 = mem_kv.dtype == jnp.int8
     assert not mem_int8 or mem_scale is not None

@@ -88,7 +88,11 @@ def family(name, images, label):
         if ref_toks is None:
             ref_toks = toks
         else:
-            out[key + "_tokens_equal"] = bool((toks == ref_toks).all())
+            equal = bool((toks == ref_toks).all())
+            out[key + "_tokens_equal"] = equal
+            # a token-parity regression must fail the run, not hide in
+            # a JSON field
+            assert equal, (label, key, "tokens diverged from XLA path")
     print(json.dumps(out), flush=True)
 
 

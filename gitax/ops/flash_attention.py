@@ -58,6 +58,16 @@ noise-level.  Only dropping the max-subtraction gains ~5%, which is not
 numerically safe in general.  The core is dot/HBM-bound; the 2x lane
 padding (zero-extended q, v lanes in the score dot) is the price of
 128-lane alignment and already accounted for in the crossover table.
+
+Also measured-and-rejected (round 3, S=257 B=32 H=16, 24-variant sweep
+over hpb in {4,8,16} x q_tile in {128,272} x {f32,bf16} softmax x
+{fused,3-phase} score staging): every variant lands 1.03-1.6 ms
+standalone vs XLA's 1.04 ms — the best (hpb=16, q_tile=272, bf16
+softmax, 3-phase) merely TIES XLA.  At this shape XLA's emitter keeps
+score tiles fused between the two batched matmuls while the packed
+layout pays 2x q/out HBM traffic, so the S<640 default stays XLA;
+beating it would take a qkv-projection+attention+proj mega-kernel, not
+a schedule tweak (tools/bench_encoder_attn.py reproduces the A/B).
 """
 
 from __future__ import annotations

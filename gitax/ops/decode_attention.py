@@ -49,11 +49,12 @@ exactly in all on-chip runs.)
 
 When the kernel engages (see `kernel_pays`): always for int8 memory
 (the in-kernel dequant is the only consumer); for bf16 memory only at
-M <= KERNEL_AUTO_MAX_MEM — measured on v5e, the kernel wins at M=264
-(+0.7% end-to-end; the in-place cache update is the round-2 491->512
-win) but loses ~1-2.5% at M=1208/1542 where the memory stream dwarfs
-the cache copy and XLA's bulk batched-matmul streams win; long-memory
-bf16 decode therefore stays on the XLA path.
+M <= KERNEL_AUTO_MAX_MEM — measured on v5e end-to-end (interleaved A/B,
+tokens equal at every point): M=264 +0.7% (the in-place cache update is
+the round-2 491->512 win), M=485 +2.2% (254/256 -> 260/261 img/s),
+M=577 +1.5% (202 -> 205), but M=1208 -1% and M=1542 -2.5%, where the
+memory stream dwarfs the cache copy and XLA's bulk batched-matmul
+streams win; long-memory bf16 decode therefore stays on the XLA path.
 
 Mosaic-friendly layout tricks:
 

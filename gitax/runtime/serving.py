@@ -1,0 +1,288 @@
+"""Dynamic-batching serving frontend over a CaptionEngine.
+
+The reference's only "serving" story is the batch-1 demo CLI
+(reference inference.py:67-109): one process, one image per forward,
+a host-synced beam loop.  gitax's whole beam search is a single device
+program, so batch-1 latency is one dispatch (measured p50 39 ms for
+GIT_LARGE beam-4 through this environment's relay, ~25 ms on-host) —
+but a production endpoint should also convert concurrency into device
+batching.  This module does that:
+
+* callers submit single requests from any thread (`submit` /
+  `caption`) and get a Future;
+* a batcher thread groups compatible requests — same prefix length and
+  image shape, i.e. the same compiled program — within a bounded wait
+  window (`max_wait_ms`), pads the group to a small set of BUCKET batch
+  sizes so the number of compiled programs stays bounded, and runs one
+  device dispatch for the whole group;
+* preprocessing (jpeg decode + resize/crop) runs on the CALLER's
+  thread, so an HTTP frontend with a thread per connection decodes in
+  parallel while the batcher keeps the device busy.
+
+Padding rows replicate the last real request (exactly what the TSV
+engine's `_dispatch_batch` does for tail batches); padded outputs are
+dropped before detokenization.  Bucketing means at most
+``len(buckets)`` compiled programs per (prefix_len, image_shape)
+family; jax.jit specializes per batch shape, so each bucket compiles
+once on first use.
+"""
+
+import collections
+import logging
+import threading
+import time
+from concurrent.futures import Future
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+class ServingStats(object):
+    """Counters a load balancer / test can read: total requests, device
+    batches, padded slots, and a batch-size histogram."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.batches = 0
+        self.padded_slots = 0
+        self.errors = 0
+        self.batch_size_hist = collections.Counter()
+
+    def record_batch(self, n_real, bucket):
+        with self.lock:
+            self.batches += 1
+            self.batch_size_hist[bucket] += 1
+            self.padded_slots += bucket - n_real
+
+    def record_requests(self, n):
+        with self.lock:
+            self.requests += n
+
+    def record_error(self):
+        with self.lock:
+            self.errors += 1
+
+    def snapshot(self):
+        with self.lock:
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "padded_slots": self.padded_slots,
+                "errors": self.errors,
+                "batch_size_hist": dict(self.batch_size_hist),
+            }
+
+
+class _Request(object):
+    __slots__ = ("image", "prefix", "future", "arrival")
+
+    def __init__(self, image, prefix):
+        self.image = image
+        self.prefix = prefix
+        self.future = Future()
+        self.arrival = time.monotonic()
+
+
+class DynamicBatcher(object):
+    """Groups concurrent single-caption requests into device batches.
+
+    engine: a CaptionEngine (supplies the compiled generate programs,
+    tokenizer, transform and params).
+    max_batch: largest device batch (clipped to the engine's configured
+    batch_size by default).
+    max_wait_ms: how long the oldest waiting request may age before its
+    group is dispatched regardless of fill.
+    buckets: allowed dispatch batch sizes (padded up); bounds compiled
+    program count.
+    """
+
+    def __init__(self, engine, max_batch: Optional[int] = None,
+                 max_wait_ms: float = 4.0,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 max_in_flight: int = 3):
+        self.engine = engine
+        self.max_batch = int(max_batch or engine.batch_size)
+        self.max_wait = max_wait_ms / 1000.0
+        bs = sorted({int(b) for b in buckets if 0 < int(b) <= self.max_batch})
+        if not bs or bs[-1] != self.max_batch:
+            bs.append(self.max_batch)
+        self.buckets = bs
+        self.stats = ServingStats()
+        # group key (prefix_len, h, w) -> deque of _Request
+        self._pending = collections.defaultdict(collections.deque)
+        self._cv = threading.Condition()
+        self._closed = False
+        # dispatch / completion split: jax dispatch is async, so the
+        # batcher thread uploads + enqueues batch N+1 while the device
+        # still runs batch N; the resolver thread syncs results and
+        # fulfils futures.  Bounded queue caps device-side queueing
+        # (latency) and pinned host batches (memory).
+        import queue as _queue
+
+        self._completions = _queue.Queue(maxsize=max(1, int(max_in_flight)))
+        self._thread = threading.Thread(
+            target=self._loop, name="gitax-batcher", daemon=True
+        )
+        self._resolver = threading.Thread(
+            target=self._resolve_loop, name="gitax-resolver", daemon=True
+        )
+        self._thread.start()
+        self._resolver.start()
+
+    # -- submission (any thread) ------------------------------------------
+
+    def submit_array(self, image: np.ndarray, prefix: List[int]) -> Future:
+        """Queue one preprocessed HWC image (uint8 native-path layout or
+        float CHW->HWC transform output) with its prefix token ids."""
+        req = _Request(np.asarray(image), list(prefix))
+        key = (len(req.prefix),) + tuple(req.image.shape[:2])
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._pending[key].append(req)
+            self.stats.record_requests(1)
+            self._cv.notify()
+        return req.future
+
+    def submit(self, image_b64=None, question: str = "",
+               image=None) -> Future:
+        """Decode + preprocess on the caller's thread, then queue.
+
+        image_b64: base64 jpeg/png payload (str or bytes); image: a
+        PIL.Image or HWC uint8 array alternative.  question: optional
+        VQA question (empty -> plain captioning)."""
+        from ..io.image import image_from_base64
+
+        if image is None:
+            image = image_from_base64(image_b64)
+            if image is None:
+                raise ValueError("undecodable image payload")
+        elif isinstance(image, np.ndarray):
+            from PIL import Image as PILImage
+
+            image = PILImage.fromarray(image)
+        arr = self.engine.transform(image)
+        # high-res transforms emit non-patch-multiple dims; truncate like
+        # the reference's strided patchify conv (CLIP/model.py:221)
+        p = self.engine.model.cfg.encoder.patch_size
+        h, w = (arr.shape[0] // p) * p, (arr.shape[1] // p) * p
+        arr = arr[:h, :w]
+        prefix = self.engine.encode_prefix(question or "")
+        return self.submit_array(arr, prefix)
+
+    def caption(self, image_b64=None, question: str = "", image=None,
+                timeout: Optional[float] = None) -> str:
+        """Blocking convenience: submit and wait for the caption."""
+        return self.submit(image_b64, question, image).result(timeout)
+
+    # -- batcher thread ----------------------------------------------------
+
+    def _oldest_key(self):
+        # called under the lock; None when nothing is pending
+        best_key, best_t = None, None
+        for key, dq in self._pending.items():
+            if dq and (best_t is None or dq[0].arrival < best_t):
+                best_key, best_t = key, dq[0].arrival
+        return best_key
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                key = self._oldest_key()
+                while key is None and not self._closed:
+                    self._cv.wait()
+                    key = self._oldest_key()
+                if key is None and self._closed:
+                    return
+                dq = self._pending[key]
+                # hold the group open until full or the oldest request
+                # ages out; new arrivals (any group) re-notify
+                deadline = dq[0].arrival + self.max_wait
+                while len(dq) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or self._closed:
+                        break
+                    self._cv.wait(remaining)
+                take = min(len(dq), self.max_batch)
+                items = [dq.popleft() for _ in range(take)]
+                if not dq:
+                    del self._pending[key]
+            if items:
+                self._run_batch(items)
+
+    def _run_batch(self, items: List[_Request]):
+        """Upload + dispatch one device batch (async) and hand the
+        in-flight result to the resolver thread."""
+        import jax.numpy as jnp
+
+        eng = self.engine
+        n = len(items)
+        bucket = next(b for b in self.buckets if b >= n)
+        try:
+            imgs = np.stack(
+                [r.image for r in items] + [items[-1].image] * (bucket - n)
+            )
+            if imgs.dtype != np.uint8:
+                imgs = imgs.astype(np.float32)
+            pref = np.asarray(
+                [r.prefix for r in items] + [items[-1].prefix] * (bucket - n),
+                np.int32,
+            )
+            fn = eng._caption_fn(pref.shape[1], imgs.shape[1:3])
+            dev = (
+                jnp.asarray(imgs)
+                if imgs.dtype == np.uint8
+                else jnp.asarray(imgs, eng.dtype)
+            )
+            seqs, _ = fn(eng.params, dev, jnp.asarray(pref))
+            self.stats.record_batch(n, bucket)
+        except BaseException as e:  # noqa: BLE001 — futures must not hang
+            logging.exception("serving dispatch failed")
+            self.stats.record_error()
+            for req in items:
+                if not req.future.done():
+                    req.future.set_exception(e)
+            return
+        # blocks when max_in_flight batches are already queued — that
+        # back-pressures the batcher (and transitively submitters)
+        self._completions.put((items, seqs))
+
+    def _resolve_loop(self):
+        while True:
+            job = self._completions.get()
+            if job is None:
+                return
+            items, seqs = job
+            try:
+                arr = np.asarray(seqs)[: len(items)]  # device sync
+                for req, row in zip(items, arr):
+                    req.future.set_result(
+                        self.engine.tokenizer.decode(
+                            row.tolist(), skip_special_tokens=True
+                        )
+                    )
+            except BaseException as e:  # noqa: BLE001
+                logging.exception("serving resolve failed")
+                self.stats.record_error()
+                for req in items:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def close(self, timeout: float = 10.0):
+        """Stop the batcher; queued requests still drain first."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout)
+        self._completions.put(None)  # after batcher exit: drains in order
+        self._resolver.join(timeout)
+        # anything left after the drain (thread died) fails loudly
+        with self._cv:
+            leftovers = [r for dq in self._pending.values() for r in dq]
+            self._pending.clear()
+        for r in leftovers:
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("batcher closed"))

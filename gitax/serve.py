@@ -1,0 +1,147 @@
+"""HTTP caption/VQA serving endpoint with dynamic batching.
+
+Beyond the reference: its inference surface is CLI-only (reference
+inference.py:67-109 demo, :134-225 offline TSV batch).  This module
+turns the same model + compiled beam search into a production
+endpoint: a threaded HTTP server whose request threads decode jpegs in
+parallel and a `runtime.serving.DynamicBatcher` that converts request
+concurrency into device batches.
+
+    python -m gitax.serve -p "{'type': 'serve_caption', \
+        'model_name': 'GIT_LARGE_COCO', 'port': 8080}"
+
+API:
+  POST /v1/caption   json {"image": <base64 jpeg/png>,
+                           "question": "optional VQA question"}
+                     -> {"caption": "..."}
+  GET  /healthz      -> {"ok": true, "model": "..."}
+  GET  /stats        -> batcher counters (requests, batches, padding,
+                        batch-size histogram)
+
+The CLI follows the same `-p/-c/-bp` YAML `type`-dispatch convention
+as every other gitax entry point (reference common.py:339-377).
+"""
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .common import dispatch_main
+
+
+def build_serving_stack(model_name, batch_size=32, max_wait_ms=4.0,
+                        dtype="bfloat16", int8=False, num_beams=4,
+                        max_steps=40, use_native=None):
+    """Model + CaptionEngine + DynamicBatcher for `model_name`, built
+    exactly like the TSV batch CLI (inference.py:166-205)."""
+    import jax.numpy as jnp
+
+    from .decode import BeamSearchConfig
+    from .inference import _build_model, _load_param, _load_tokenizer
+    from .preprocess import get_image_transform
+    from .runtime import CaptionEngine
+    from .runtime.serving import DynamicBatcher
+
+    param = _load_param(model_name)
+    jdtype = jnp.dtype(dtype)
+    tokenizer = _load_tokenizer()
+    model, params = _build_model(model_name, param, dtype=jdtype)
+    engine = CaptionEngine(
+        model,
+        params,
+        tokenizer,
+        get_image_transform(param),
+        batch_size=batch_size,
+        beam=BeamSearchConfig(num_beams=num_beams, max_steps=max_steps),
+        dtype=jdtype,
+        use_native=use_native,
+        int8=int8,
+    )
+    return engine, DynamicBatcher(engine, max_wait_ms=max_wait_ms)
+
+
+def make_http_server(batcher, model_name, host="0.0.0.0", port=8080,
+                     request_timeout=120.0):
+    """A ThreadingHTTPServer wired to `batcher` (separated from
+    serve_caption so tests can drive it on an ephemeral port)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True, "model": model_name})
+            elif self.path == "/stats":
+                self._reply(200, batcher.stats.snapshot())
+            else:
+                self._reply(404, {"error": "unknown path %s" % self.path})
+
+        def do_POST(self):
+            if self.path != "/v1/caption":
+                self._reply(404, {"error": "unknown path %s" % self.path})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if "image" not in req:
+                    self._reply(400, {"error": "missing 'image' (base64)"})
+                    return
+                caption = batcher.caption(
+                    req["image"],
+                    question=req.get("question", ""),
+                    timeout=request_timeout,
+                )
+                self._reply(200, {"caption": caption})
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — HTTP boundary
+                logging.exception("request failed")
+                self._reply(500, {"error": str(e)})
+
+        def log_message(self, fmt, *args):
+            logging.info("http: " + fmt, *args)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_caption(model_name, host="0.0.0.0", port=8080, batch_size=32,
+                  max_wait_ms=4.0, dtype="bfloat16", int8=False,
+                  num_beams=4, max_steps=40, use_native=None,
+                  warmup=True, run_seconds=None):
+    """Start the endpoint.  warmup: compile the B=1 program before
+    accepting traffic (first compile is tens of seconds cold).
+    run_seconds: exit after N seconds (smoke tests); None = forever."""
+    import numpy as np
+
+    engine, batcher = build_serving_stack(
+        model_name, batch_size=batch_size, max_wait_ms=max_wait_ms,
+        dtype=dtype, int8=int8, num_beams=num_beams, max_steps=max_steps,
+        use_native=use_native,
+    )
+    if warmup:
+        crop = getattr(engine.transform, "crop_size", 224)
+        dummy = np.zeros((crop, crop, 3), np.uint8)
+        batcher.caption(image=dummy)
+        logging.info("warmup compile done (B=1)")
+    httpd = make_http_server(batcher, model_name, host, port)
+    logging.info("serving %s on %s:%d", model_name, host, port)
+    if run_seconds is not None:
+        threading.Timer(float(run_seconds), httpd.shutdown).start()
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    dispatch_main(globals())

@@ -39,9 +39,18 @@ import numpy as np
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32)
 
 
+class OverloadedError(RuntimeError):
+    """Raised by submit when the pending queue is at max_queue depth.
+
+    Admission control: without it a sustained overload accumulates
+    unbounded request + decoded-image memory until OOM (the completion
+    queue alone only bounds DISPATCHED batches).  The HTTP frontend maps
+    this to 503 so load balancers back off."""
+
+
 class ServingStats(object):
     """Counters a load balancer / test can read: total requests, device
-    batches, padded slots, and a batch-size histogram."""
+    batches, padded slots, rejections, and a batch-size histogram."""
 
     def __init__(self):
         self.lock = threading.Lock()
@@ -49,6 +58,7 @@ class ServingStats(object):
         self.batches = 0
         self.padded_slots = 0
         self.errors = 0
+        self.rejected = 0
         self.batch_size_hist = collections.Counter()
 
     def record_batch(self, n_real, bucket):
@@ -65,6 +75,10 @@ class ServingStats(object):
         with self.lock:
             self.errors += 1
 
+    def record_rejected(self):
+        with self.lock:
+            self.rejected += 1
+
     def snapshot(self):
         with self.lock:
             return {
@@ -72,6 +86,7 @@ class ServingStats(object):
                 "batches": self.batches,
                 "padded_slots": self.padded_slots,
                 "errors": self.errors,
+                "rejected": self.rejected,
                 "batch_size_hist": dict(self.batch_size_hist),
             }
 
@@ -102,7 +117,8 @@ class DynamicBatcher(object):
     def __init__(self, engine, max_batch: Optional[int] = None,
                  max_wait_ms: float = 4.0,
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
-                 max_in_flight: int = 3):
+                 max_in_flight: int = 3,
+                 max_queue: Optional[int] = None):
         self.engine = engine
         self.max_batch = int(max_batch or engine.batch_size)
         self.max_wait = max_wait_ms / 1000.0
@@ -110,9 +126,14 @@ class DynamicBatcher(object):
         if not bs or bs[-1] != self.max_batch:
             bs.append(self.max_batch)
         self.buckets = bs
+        # admission control: total UNDISPATCHED requests across all
+        # groups; max_in_flight separately bounds dispatched batches.
+        # Default 8 full batches of headroom.
+        self.max_queue = int(max_queue) if max_queue else 8 * self.max_batch
         self.stats = ServingStats()
-        # group key (prefix_len, h, w) -> deque of _Request
+        # group key (prefix_len, h, w, dtype) -> deque of _Request
         self._pending = collections.defaultdict(collections.deque)
+        self._pending_count = 0
         self._cv = threading.Condition()
         self._closed = False
         # dispatch / completion split: jax dispatch is async, so the
@@ -136,13 +157,27 @@ class DynamicBatcher(object):
 
     def submit_array(self, image: np.ndarray, prefix: List[int]) -> Future:
         """Queue one preprocessed HWC image (uint8 native-path layout or
-        float CHW->HWC transform output) with its prefix token ids."""
+        float CHW->HWC transform output) with its prefix token ids.
+
+        Raises OverloadedError when max_queue requests are already
+        waiting (admission control — reject at the door instead of
+        accumulating decoded images until OOM)."""
         req = _Request(np.asarray(image), list(prefix))
-        key = (len(req.prefix),) + tuple(req.image.shape[:2])
+        # dtype is part of the group identity: a uint8 row (native path,
+        # fused on-device normalization) stacked with a float row would
+        # silently promote to float and skip the normalize branch
+        kind = "u8" if req.image.dtype == np.uint8 else "f"
+        key = (len(req.prefix),) + tuple(req.image.shape[:2]) + (kind,)
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher is closed")
+            if self._pending_count >= self.max_queue:
+                self.stats.record_rejected()
+                raise OverloadedError(
+                    "pending queue full (%d requests)" % self._pending_count
+                )
             self._pending[key].append(req)
+            self._pending_count += 1
             self.stats.record_requests(1)
             self._cv.notify()
         return req.future
@@ -178,6 +213,55 @@ class DynamicBatcher(object):
         """Blocking convenience: submit and wait for the caption."""
         return self.submit(image_b64, question, image).result(timeout)
 
+    def queue_depth(self) -> int:
+        """Current undispatched-request count (admission-control gauge)."""
+        with self._cv:
+            return self._pending_count
+
+    def snapshot(self):
+        """Stats counters plus the live queue-depth gauge."""
+        snap = self.stats.snapshot()
+        snap["queue_depth"] = self.queue_depth()
+        snap["max_queue"] = self.max_queue
+        return snap
+
+    def warm(self, prefix_lens: Sequence[int] = (1,),
+             buckets: Optional[Sequence[int]] = None):
+        """Pre-compile the jitted programs for the given prefix lengths
+        across all bucket sizes, so the first request to hit each bucket
+        doesn't stall ALL traffic behind a tens-of-seconds inline
+        compile on the single batcher thread.
+
+        Warms the exact program HTTP traffic hits: a dummy image is run
+        through the engine's own transform, so shape AND dtype (jit
+        specializes on both) match real submits."""
+        import jax.numpy as jnp
+        from PIL import Image as PILImage
+
+        eng = self.engine
+        crop = getattr(eng.transform, "crop_size", 224)
+        arr = eng.transform(
+            PILImage.fromarray(np.zeros((crop, crop, 3), np.uint8))
+        )
+        p = eng.model.cfg.encoder.patch_size
+        h, w = (arr.shape[0] // p) * p, (arr.shape[1] // p) * p
+        arr = np.asarray(arr)[:h, :w]
+        if arr.dtype != np.uint8:
+            arr = arr.astype(np.float32)
+        cls = eng.tokenizer.cls_token_id
+        for tp in prefix_lens:
+            for b in (buckets or self.buckets):
+                imgs = np.stack([arr] * b)
+                dev = (
+                    jnp.asarray(imgs)
+                    if imgs.dtype == np.uint8
+                    else jnp.asarray(imgs, eng.dtype)
+                )
+                fn = eng._caption_fn(tp, imgs.shape[1:3])
+                pref = np.full((b, tp), cls, np.int32)
+                seqs, _ = fn(eng.params, dev, jnp.asarray(pref))
+                np.asarray(seqs)  # block until compiled + run
+
     # -- batcher thread ----------------------------------------------------
 
     def _oldest_key(self):
@@ -189,29 +273,37 @@ class DynamicBatcher(object):
         return best_key
 
     def _loop(self):
-        while True:
-            with self._cv:
-                key = self._oldest_key()
-                while key is None and not self._closed:
-                    self._cv.wait()
+        try:
+            while True:
+                with self._cv:
                     key = self._oldest_key()
-                if key is None and self._closed:
-                    return
-                dq = self._pending[key]
-                # hold the group open until full or the oldest request
-                # ages out; new arrivals (any group) re-notify
-                deadline = dq[0].arrival + self.max_wait
-                while len(dq) < self.max_batch:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0 or self._closed:
-                        break
-                    self._cv.wait(remaining)
-                take = min(len(dq), self.max_batch)
-                items = [dq.popleft() for _ in range(take)]
-                if not dq:
-                    del self._pending[key]
-            if items:
-                self._run_batch(items)
+                    while key is None and not self._closed:
+                        self._cv.wait()
+                        key = self._oldest_key()
+                    if key is None and self._closed:
+                        return
+                    dq = self._pending[key]
+                    # hold the group open until full or the oldest request
+                    # ages out; new arrivals (any group) re-notify
+                    deadline = dq[0].arrival + self.max_wait
+                    while len(dq) < self.max_batch:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0 or self._closed:
+                            break
+                        self._cv.wait(remaining)
+                    take = min(len(dq), self.max_batch)
+                    items = [dq.popleft() for _ in range(take)]
+                    self._pending_count -= take
+                    if not dq:
+                        del self._pending[key]
+                if items:
+                    self._run_batch(items)
+        finally:
+            # the batcher thread OWNS the sentinel: it goes in strictly
+            # after every dispatched batch (same thread, same queue), so
+            # close() can never race it ahead of an in-flight batch that
+            # is still compiling
+            self._completions.put(None)
 
     def _run_batch(self, items: List[_Request]):
         """Upload + dispatch one device batch (async) and hand the
@@ -272,17 +364,28 @@ class DynamicBatcher(object):
                         req.future.set_exception(e)
 
     def close(self, timeout: float = 10.0):
-        """Stop the batcher; queued requests still drain first."""
+        """Stop the batcher; queued requests still drain first.
+
+        The batcher thread enqueues the completion sentinel itself on
+        exit, so a slow first-use compile can't strand an in-flight
+        batch behind a prematurely-placed sentinel.  If the join times
+        out (compile still running), the threads keep draining in the
+        background and futures resolve late rather than never."""
         with self._cv:
             self._closed = True
             self._cv.notify_all()
         self._thread.join(timeout)
-        self._completions.put(None)  # after batcher exit: drains in order
         self._resolver.join(timeout)
-        # anything left after the drain (thread died) fails loudly
+        if self._thread.is_alive():
+            # still compiling/dispatching: it will drain the queue and
+            # plant the sentinel when done — do NOT fail its futures
+            logging.warning("batcher close timed out; draining continues")
+            return
+        # batcher is dead; anything still pending can never dispatch
         with self._cv:
             leftovers = [r for dq in self._pending.values() for r in dq]
             self._pending.clear()
+            self._pending_count = 0
         for r in leftovers:
             if not r.future.done():
                 r.future.set_exception(RuntimeError("batcher closed"))

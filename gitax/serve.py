@@ -61,10 +61,17 @@ def build_serving_stack(model_name, batch_size=32, max_wait_ms=4.0,
     return engine, DynamicBatcher(engine, max_wait_ms=max_wait_ms)
 
 
-def make_http_server(batcher, model_name, host="0.0.0.0", port=8080,
+MAX_BODY_BYTES = 32 * 1024 * 1024  # reject larger POSTs with 413
+
+
+def make_http_server(batcher, model_name, host="127.0.0.1", port=8080,
                      request_timeout=120.0):
     """A ThreadingHTTPServer wired to `batcher` (separated from
-    serve_caption so tests can drive it on an ephemeral port)."""
+    serve_caption so tests can drive it on an ephemeral port).
+
+    Binds localhost by default; pass host='0.0.0.0' explicitly to expose
+    the (unauthenticated) endpoint beyond the machine."""
+    from .runtime.serving import OverloadedError
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -81,7 +88,7 @@ def make_http_server(batcher, model_name, host="0.0.0.0", port=8080,
             if self.path == "/healthz":
                 self._reply(200, {"ok": True, "model": model_name})
             elif self.path == "/stats":
-                self._reply(200, batcher.stats.snapshot())
+                self._reply(200, batcher.snapshot())
             else:
                 self._reply(404, {"error": "unknown path %s" % self.path})
 
@@ -91,6 +98,14 @@ def make_http_server(batcher, model_name, host="0.0.0.0", port=8080,
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length < 0:
+                    self._reply(400, {"error": "negative Content-Length"})
+                    return
+                if length > MAX_BODY_BYTES:
+                    self._reply(
+                        413, {"error": "body exceeds %d bytes" % MAX_BODY_BYTES}
+                    )
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if "image" not in req:
                     self._reply(400, {"error": "missing 'image' (base64)"})
@@ -101,6 +116,10 @@ def make_http_server(batcher, model_name, host="0.0.0.0", port=8080,
                     timeout=request_timeout,
                 )
                 self._reply(200, {"caption": caption})
+            except OverloadedError as e:
+                # admission control tripped: tell load balancers to back
+                # off instead of queueing unbounded decoded images
+                self._reply(503, {"error": str(e)})
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — HTTP boundary
@@ -113,25 +132,26 @@ def make_http_server(batcher, model_name, host="0.0.0.0", port=8080,
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve_caption(model_name, host="0.0.0.0", port=8080, batch_size=32,
+def serve_caption(model_name, host="127.0.0.1", port=8080, batch_size=32,
                   max_wait_ms=4.0, dtype="bfloat16", int8=False,
                   num_beams=4, max_steps=40, use_native=None,
-                  warmup=True, run_seconds=None):
-    """Start the endpoint.  warmup: compile the B=1 program before
-    accepting traffic (first compile is tens of seconds cold).
-    run_seconds: exit after N seconds (smoke tests); None = forever."""
-    import numpy as np
-
+                  warmup=True, run_seconds=None, warm_prefix_lens=(1,)):
+    """Start the endpoint.  warmup: compile every bucket size (plus any
+    expected VQA prefix lengths) BEFORE accepting traffic — a cold
+    compile on the batcher thread stalls all groups for tens of seconds.
+    run_seconds: exit after N seconds (smoke tests); None = forever.
+    host: localhost by default; set '0.0.0.0' to expose externally."""
     engine, batcher = build_serving_stack(
         model_name, batch_size=batch_size, max_wait_ms=max_wait_ms,
         dtype=dtype, int8=int8, num_beams=num_beams, max_steps=max_steps,
         use_native=use_native,
     )
     if warmup:
-        crop = getattr(engine.transform, "crop_size", 224)
-        dummy = np.zeros((crop, crop, 3), np.uint8)
-        batcher.caption(image=dummy)
-        logging.info("warmup compile done (B=1)")
+        batcher.warm(prefix_lens=tuple(warm_prefix_lens))
+        logging.info(
+            "warmup compile done (buckets %s, prefix lens %s)",
+            batcher.buckets, tuple(warm_prefix_lens),
+        )
     httpd = make_http_server(batcher, model_name, host, port)
     logging.info("serving %s on %s:%d", model_name, host, port)
     if run_seconds is not None:

@@ -132,6 +132,78 @@ def test_submit_rejects_bad_payload(engine):
         batcher.close()
 
 
+def test_overload_rejects_and_accepted_complete(engine):
+    """Admission control: with max_queue pending requests waiting, the
+    next submit raises OverloadedError immediately; requests accepted
+    before the flood still complete."""
+    from gitax.runtime.serving import OverloadedError
+
+    # huge wait + batch larger than the flood => nothing dispatches
+    # until close(), so the queue deterministically fills
+    batcher = DynamicBatcher(
+        engine, max_batch=64, max_wait_ms=60_000, max_queue=5
+    )
+    try:
+        payload = jpeg_b64(50)
+        accepted = [batcher.submit(payload) for _ in range(5)]
+        assert batcher.queue_depth() == 5
+        with pytest.raises(OverloadedError):
+            batcher.submit(payload)
+        with pytest.raises(OverloadedError):
+            batcher.submit(payload)
+        snap = batcher.snapshot()
+        assert snap["rejected"] == 2
+        assert snap["queue_depth"] == 5
+        assert snap["max_queue"] == 5
+    finally:
+        batcher.close(timeout=120)
+    # close() drains the aging group: every accepted future resolves
+    results = [f.result(timeout=120) for f in accepted]
+    assert all(isinstance(r, str) for r in results)
+    assert batcher.queue_depth() == 0
+
+
+def test_uint8_and_float_requests_never_share_a_batch(engine):
+    """A uint8 native-layout row and a float transform-output row of the
+    same shape must dispatch as separate programs: stacking them would
+    promote the uint8 rows to float and skip the fused on-device
+    normalization (raw 0-255 values through the model)."""
+    from gitax.io.image import image_from_base64
+    from gitax.preprocess.transforms import center_crop, resize_shorter
+
+    payloads = [jpeg_b64(60), jpeg_b64(61)]
+    pils = [image_from_base64(p) for p in payloads]
+    float_arrs = [np.asarray(engine.transform(im), np.float32) for im in pils]
+    u8_arrs = [
+        np.asarray(center_crop(resize_shorter(im, 32), 32), np.uint8)
+        for im in pils
+    ]
+    want_float = engine.generate_batch(float_arrs, [[101]] * 2)
+    want_u8 = engine.generate_batch(u8_arrs, [[101]] * 2)
+
+    batcher = DynamicBatcher(engine, max_batch=4, max_wait_ms=200)
+    try:
+        futs = [batcher.submit_array(a, [101]) for a in float_arrs]
+        futs += [batcher.submit_array(a, [101]) for a in u8_arrs]
+        got = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.close()
+    assert got[:2] == want_float
+    assert got[2:] == want_u8
+    # the two dtypes were separate dispatches even at equal shape
+    assert batcher.stats.snapshot()["batches"] >= 2
+
+
+def test_warm_compiles_all_buckets(engine):
+    batcher = DynamicBatcher(engine, max_batch=4, max_wait_ms=10)
+    try:
+        batcher.warm(prefix_lens=(1,))
+        # every bucket's (prefix_len=1, 32x32) program is now cached
+        assert (1, (32, 32)) in engine._jitted
+    finally:
+        batcher.close()
+
+
 def test_close_drains_queued_requests(engine):
     batcher = DynamicBatcher(engine, max_batch=4, max_wait_ms=2000)
     fut = batcher.submit(jpeg_b64(30))
@@ -179,3 +251,63 @@ def test_http_endpoint(engine):
         httpd.shutdown()
         httpd.server_close()
         batcher.close()
+
+
+def test_http_error_mapping():
+    """The HTTP boundary maps OverloadedError -> 503 and clamps bodies:
+    oversized Content-Length -> 413, negative -> 400 (no hang reading to
+    EOF).  Uses a stub batcher so the trigger is deterministic."""
+    import http.client
+
+    from gitax.runtime.serving import OverloadedError, ServingStats
+    from gitax.serve import MAX_BODY_BYTES
+
+    class StubBatcher(object):
+        stats = ServingStats()
+
+        def snapshot(self):
+            return self.stats.snapshot()
+
+        def caption(self, *a, **k):
+            raise OverloadedError("pending queue full (64 requests)")
+
+    httpd = make_http_server(StubBatcher(), "STUB", host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % port
+    try:
+        body = json.dumps({"image": "aGk="}).encode()
+        req = urllib.request.Request(
+            base + "/v1/caption", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert "queue full" in json.loads(e.read())["error"]
+
+        # oversized declared body: rejected before any read
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/v1/caption")
+        conn.putheader("Content-Length", str(MAX_BODY_BYTES + 1))
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+
+        # negative Content-Length: 400, not a blocking read-to-EOF
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/v1/caption")
+        conn.putheader("Content-Length", "-5")
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

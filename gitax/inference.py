@@ -165,7 +165,8 @@ def test_git_inference_single_image(image_path, model_name, prefix="",
 
 def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
                                   batch_size=32, dtype="bfloat16",
-                                  use_native=None, int8=False):
+                                  use_native=None, int8=False,
+                                  mesh_shape=None):
     """Sharded batch inference over a base64-image TSV
     (reference inference.py:134-225), batched on device.
 
@@ -173,7 +174,12 @@ def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
     torch reference).  use_native: force the native C++ decode path on
     (True) / off (False, exact PIL preprocessing) / auto (None).
     int8: weight-only int8 decoder/vocab matmuls (fastest; near-tie
-    beams may pick different tokens than full precision)."""
+    beams may pick different tokens than full precision).
+    mesh_shape: int N or [data, model] — run the engine as one SPMD
+    program over an N-chip mesh (all local chips share one process),
+    replacing the reference's one-process-per-GPU mpirun pattern
+    (inference.py:157-169); the rank/world row sharding still applies
+    across HOSTS."""
     import jax.numpy as jnp
 
     from .decode import BeamSearchConfig
@@ -184,6 +190,13 @@ def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
         param = load_from_yaml_file("output/{}/parameter.yaml".format(model_name))
     else:
         param = _load_param(model_name)
+    mesh = None
+    if mesh_shape is not None:
+        from .parallel import make_mesh
+
+        if isinstance(mesh_shape, int):
+            mesh_shape = (mesh_shape, 1)
+        mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
     jdtype = jnp.dtype(dtype)
     tokenizer = _load_tokenizer()
     model, params = _build_model(model_name, param, dtype=jdtype)
@@ -197,6 +210,7 @@ def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
         dtype=jdtype,
         use_native=use_native,
         int8=int8,
+        mesh=mesh,
     )
     rank, world = get_mpi_rank(), get_mpi_size()
     if question_tsv:

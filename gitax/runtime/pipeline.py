@@ -101,6 +101,7 @@ class CaptionEngine(object):
         int8: bool = False,
         fast_prefill: Optional[bool] = None,
         decode_kernel: Optional[bool] = None,
+        mesh=None,
     ):
         self.model = model
         if int8:
@@ -125,6 +126,23 @@ class CaptionEngine(object):
 
             decode_kernel = use_pallas()
         self._decode_kernel = decode_kernel
+        # SPMD over a jax.sharding.Mesh: batches shard over the 'data'
+        # axis (params replicated, or TP-sharded over 'model'), so ONE
+        # jitted program drives every chip — the TPU-native replacement
+        # for the reference's mpirun-times-8 process sharding
+        # (inference.py:157-169; SURVEY.md §2 parallelism table).  The
+        # per-process TSV row sharding above this still applies across
+        # HOSTS; the mesh scales the chips within one.
+        self.mesh = mesh
+        if mesh is not None:
+            d = mesh.shape["data"]
+            assert batch_size % d == 0, (
+                "batch_size %d must divide over the mesh data axis %d"
+                % (batch_size, d)
+            )
+            from ..parallel import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.tokenizer = tokenizer
         self.transform = transform
@@ -278,6 +296,48 @@ class CaptionEngine(object):
         return self.resolve(self.dispatch_varshape(images, prefixes))
 
     # -- batched generate --------------------------------------------------
+    def dispatch_device_batch(self, imgs: np.ndarray, pref: np.ndarray):
+        """Upload ONE same-shape batch and dispatch the jitted beam
+        search (async).  imgs: [B,H,W,3] uint8 (native layout, fused
+        on-device normalization) or float; pref: [B,Tp] int32.  Returns
+        the device sequences array with >= B rows (mesh padding can add
+        rows — callers already slice back to their real count).
+
+        This is the single host->device seam: the TSV loops AND the
+        serving DynamicBatcher both come through here, so enabling the
+        mesh makes every product surface SPMD at once."""
+        if imgs.dtype != np.uint8:
+            imgs = imgs.astype(np.float32)
+        pref = np.asarray(pref, np.int32)
+        fn = self._caption_fn(pref.shape[1], imgs.shape[1:3])
+        if self.mesh is None:
+            dev_imgs = (
+                jnp.asarray(imgs)
+                if imgs.dtype == np.uint8
+                else jnp.asarray(imgs, self.dtype)
+            )
+            seqs, _ = fn(self.params, dev_imgs, jnp.asarray(pref))
+            return seqs
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        d = self.mesh.shape["data"]
+        pad_n = (-len(imgs)) % d
+        if pad_n:  # every data shard needs equal rows
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad_n, axis=0)])
+            pref = np.concatenate([pref, np.repeat(pref[-1:], pad_n, axis=0)])
+        if imgs.dtype != np.uint8:
+            # cast on host so the transfer is already activation-width
+            imgs = np.asarray(imgs).astype(self.dtype)
+
+        def sharding(nd):
+            return NamedSharding(self.mesh, P("data", *([None] * (nd - 1))))
+
+        dev_imgs = jax.device_put(imgs, sharding(imgs.ndim))
+        dev_pref = jax.device_put(pref, sharding(2))
+        with jax.sharding.set_mesh(self.mesh):
+            seqs, _ = fn(self.params, dev_imgs, dev_pref)
+        return seqs
+
     def _dispatch_batch(self, images: List[np.ndarray], prefixes: List[List[int]]):
         """Dispatch same-shape images to the device (async); returns a
         list of device sequence arrays covering >= len(images) rows."""
@@ -291,17 +351,9 @@ class CaptionEngine(object):
         if imgs.dtype != np.uint8:
             imgs = imgs.astype(np.float32)
         pref = np.asarray(prefixes + [prefixes[-1]] * pad_n, np.int32)
-        fn = self._caption_fn(tp, imgs.shape[1:3])
         outs = []
         for i in range(0, len(imgs), b):
-            chunk = imgs[i : i + b]
-            dev_imgs = (
-                jnp.asarray(chunk)
-                if chunk.dtype == np.uint8
-                else jnp.asarray(chunk, self.dtype)
-            )
-            seqs, _ = fn(self.params, dev_imgs, jnp.asarray(pref[i : i + b]))
-            outs.append(seqs)
+            outs.append(self.dispatch_device_batch(imgs[i : i + b], pref[i : i + b]))
         return outs
 
     def generate_batch(self, images: List[np.ndarray], prefixes: List[List[int]]):

@@ -235,7 +235,6 @@ class DynamicBatcher(object):
         Warms the exact program HTTP traffic hits: a dummy image is run
         through the engine's own transform, so shape AND dtype (jit
         specializes on both) match real submits."""
-        import jax.numpy as jnp
         from PIL import Image as PILImage
 
         eng = self.engine
@@ -252,14 +251,8 @@ class DynamicBatcher(object):
         for tp in prefix_lens:
             for b in (buckets or self.buckets):
                 imgs = np.stack([arr] * b)
-                dev = (
-                    jnp.asarray(imgs)
-                    if imgs.dtype == np.uint8
-                    else jnp.asarray(imgs, eng.dtype)
-                )
-                fn = eng._caption_fn(tp, imgs.shape[1:3])
                 pref = np.full((b, tp), cls, np.int32)
-                seqs, _ = fn(eng.params, dev, jnp.asarray(pref))
+                seqs = eng.dispatch_device_batch(imgs, pref)
                 np.asarray(seqs)  # block until compiled + run
 
     # -- batcher thread ----------------------------------------------------
@@ -307,9 +300,9 @@ class DynamicBatcher(object):
 
     def _run_batch(self, items: List[_Request]):
         """Upload + dispatch one device batch (async) and hand the
-        in-flight result to the resolver thread."""
-        import jax.numpy as jnp
-
+        in-flight result to the resolver thread.  Device placement
+        (incl. optional mesh sharding) lives in the engine's
+        dispatch_device_batch — serving inherits SPMD for free."""
         eng = self.engine
         n = len(items)
         bucket = next(b for b in self.buckets if b >= n)
@@ -317,19 +310,11 @@ class DynamicBatcher(object):
             imgs = np.stack(
                 [r.image for r in items] + [items[-1].image] * (bucket - n)
             )
-            if imgs.dtype != np.uint8:
-                imgs = imgs.astype(np.float32)
             pref = np.asarray(
                 [r.prefix for r in items] + [items[-1].prefix] * (bucket - n),
                 np.int32,
             )
-            fn = eng._caption_fn(pref.shape[1], imgs.shape[1:3])
-            dev = (
-                jnp.asarray(imgs)
-                if imgs.dtype == np.uint8
-                else jnp.asarray(imgs, eng.dtype)
-            )
-            seqs, _ = fn(eng.params, dev, jnp.asarray(pref))
+            seqs = eng.dispatch_device_batch(imgs, pref)
             self.stats.record_batch(n, bucket)
         except BaseException as e:  # noqa: BLE001 — futures must not hang
             logging.exception("serving dispatch failed")

@@ -32,9 +32,15 @@ from .common import dispatch_main
 
 def build_serving_stack(model_name, batch_size=32, max_wait_ms=4.0,
                         dtype="bfloat16", int8=False, num_beams=4,
-                        max_steps=40, use_native=None):
+                        max_steps=40, use_native=None, mesh_shape=None):
     """Model + CaptionEngine + DynamicBatcher for `model_name`, built
-    exactly like the TSV batch CLI (inference.py:166-205)."""
+    exactly like the TSV batch CLI (inference.py:166-205).
+
+    mesh_shape: None = single device; int N = DP over N chips;
+    [data, model] = DP x tensor-parallel.  One SPMD program then drives
+    every chip per batch — the TPU-native replacement for running one
+    server process per chip (the reference's mpirun pattern,
+    inference.py:157-169)."""
     import jax.numpy as jnp
 
     from .decode import BeamSearchConfig
@@ -42,6 +48,14 @@ def build_serving_stack(model_name, batch_size=32, max_wait_ms=4.0,
     from .preprocess import get_image_transform
     from .runtime import CaptionEngine
     from .runtime.serving import DynamicBatcher
+
+    mesh = None
+    if mesh_shape is not None:
+        from .parallel import make_mesh
+
+        if isinstance(mesh_shape, int):
+            mesh_shape = (mesh_shape, 1)
+        mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
 
     param = _load_param(model_name)
     jdtype = jnp.dtype(dtype)
@@ -57,6 +71,7 @@ def build_serving_stack(model_name, batch_size=32, max_wait_ms=4.0,
         dtype=jdtype,
         use_native=use_native,
         int8=int8,
+        mesh=mesh,
     )
     return engine, DynamicBatcher(engine, max_wait_ms=max_wait_ms)
 
@@ -135,16 +150,19 @@ def make_http_server(batcher, model_name, host="127.0.0.1", port=8080,
 def serve_caption(model_name, host="127.0.0.1", port=8080, batch_size=32,
                   max_wait_ms=4.0, dtype="bfloat16", int8=False,
                   num_beams=4, max_steps=40, use_native=None,
-                  warmup=True, run_seconds=None, warm_prefix_lens=(1,)):
+                  warmup=True, run_seconds=None, warm_prefix_lens=(1,),
+                  mesh_shape=None):
     """Start the endpoint.  warmup: compile every bucket size (plus any
     expected VQA prefix lengths) BEFORE accepting traffic — a cold
     compile on the batcher thread stalls all groups for tens of seconds.
     run_seconds: exit after N seconds (smoke tests); None = forever.
-    host: localhost by default; set '0.0.0.0' to expose externally."""
+    host: localhost by default; set '0.0.0.0' to expose externally.
+    mesh_shape: int N or [data, model] — serve as one SPMD program over
+    an N-chip mesh instead of one process per chip."""
     engine, batcher = build_serving_stack(
         model_name, batch_size=batch_size, max_wait_ms=max_wait_ms,
         dtype=dtype, int8=int8, num_beams=num_beams, max_steps=max_steps,
-        use_native=use_native,
+        use_native=use_native, mesh_shape=mesh_shape,
     )
     if warmup:
         batcher.warm(prefix_lens=tuple(warm_prefix_lens))

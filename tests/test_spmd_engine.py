@@ -1,0 +1,179 @@
+"""SPMD CaptionEngine: the mesh at the PRODUCT surface (VERDICT r3 #1).
+
+The reference scales batch inference by running one process per GPU
+(mpirun -n 8, inference.py:157-169).  gitax's TPU-native replacement is
+ONE engine whose jitted beam search runs as a single SPMD program over a
+jax.sharding.Mesh — these tests assert the engine's actual outputs (TSV
+bytes, caption strings, serving results) are identical between the
+single-device and the 8-device-mesh configurations on the CPU mesh.
+"""
+
+import base64
+import io
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from gitax.common import json_dump
+from gitax.decode import BeamSearchConfig
+from gitax.io.tsv import TSVFile, tsv_writer
+from gitax.models import GitModel, GitConfig, ViTConfig
+from gitax.parallel import make_mesh
+from gitax.preprocess import TestTransform
+from gitax.runtime import CaptionEngine
+from gitax.tokenization import BertTokenizer, build_tiny_vocab
+
+TINY = GitConfig(
+    encoder=ViTConfig(16, 64, 2, 2, 32),
+    visual_feature_size=64,
+    vocab_size=30522,
+    hidden_size=48,
+    num_layers=2,
+    num_heads=4,
+    feedforward_size=96,
+    max_caption_length=32,
+)
+
+
+def jpeg_b64(seed, size=(40, 50)):
+    rng = np.random.RandomState(seed)
+    img = Image.fromarray(rng.randint(0, 255, (size[1], size[0], 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue())
+
+
+@pytest.fixture(scope="module")
+def shared():
+    model = GitModel(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tok = BertTokenizer(build_tiny_vocab())
+    return model, params, tok
+
+
+def make_engine(shared, mesh=None, batch_size=8):
+    model, params, tok = shared
+    return CaptionEngine(
+        model,
+        params,
+        tok,
+        TestTransform(crop_size=32),
+        batch_size=batch_size,
+        beam=BeamSearchConfig(num_beams=2, max_steps=8),
+        dtype=jnp.float32,
+        mesh=mesh,
+    )
+
+
+def test_spmd_caption_tsv_byte_identical(shared, tmp_path):
+    """run_caption_tsv through the 8-device DP mesh must write the SAME
+    BYTES as the single-device engine (same batch size, so identical
+    padding/bucketing on the host side)."""
+    img_tsv = str(tmp_path / "imgs.tsv")
+    tsv_writer([["k{}".format(i), jpeg_b64(i)] for i in range(11)], img_tsv)
+    single = make_engine(shared)
+    spmd = make_engine(shared, mesh=make_mesh(data=8, model=1))
+    out_single = str(tmp_path / "out_single.tsv")
+    out_spmd = str(tmp_path / "out_spmd.tsv")
+    single.run_caption_tsv(img_tsv, out_single)
+    spmd.run_caption_tsv(img_tsv, out_spmd)
+    with open(out_single, "rb") as a, open(out_spmd, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_spmd_vqa_tsv_byte_identical(shared, tmp_path):
+    img_tsv = str(tmp_path / "imgs.tsv")
+    q_tsv = str(tmp_path / "qs.tsv")
+    tsv_writer([["k{}".format(i), jpeg_b64(i)] for i in range(5)], img_tsv)
+    questions = [
+        [{"question": "red", "question_id": 10}],
+        [{"question": "big dog here", "question_id": 11},
+         {"question": "blue", "question_id": 12}],
+        [{"question": "a b c d", "question_id": 13}],
+        [{"question": "x", "question_id": 14}],
+        [{"question": "why so", "question_id": 15}],
+    ]
+    tsv_writer(
+        [["k{}".format(i), json_dump(questions[i])] for i in range(5)], q_tsv
+    )
+    single = make_engine(shared)
+    spmd = make_engine(shared, mesh=make_mesh(data=8, model=1))
+    out_single = str(tmp_path / "ans_single.tsv")
+    out_spmd = str(tmp_path / "ans_spmd.tsv")
+    single.run_vqa_tsv(img_tsv, q_tsv, out_single)
+    spmd.run_vqa_tsv(img_tsv, q_tsv, out_spmd)
+    with open(out_single, "rb") as a, open(out_spmd, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_spmd_generate_batch_tokens_equal(shared):
+    """generate_batch (uint8 native-layout path included) must produce
+    identical captions on the DP mesh and on one device."""
+    model, params, tok = shared
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 255, (32, 32, 3), np.uint8) for _ in range(6)]
+    cls = tok.cls_token_id
+    prefixes = [[cls]] * 6
+    single = make_engine(shared)
+    spmd = make_engine(shared, mesh=make_mesh(data=8, model=1))
+    assert single.generate_batch(imgs, prefixes) == spmd.generate_batch(
+        imgs, prefixes
+    )
+
+
+def test_tp_mesh_engine(shared):
+    """DP x TP mesh (4x2): the engine's one program shards heads/FFN
+    over 'model' as well; captions must still match single-device."""
+    model, params, tok = shared
+    rng = np.random.RandomState(4)
+    imgs = [rng.randint(0, 255, (32, 32, 3), np.uint8) for _ in range(4)]
+    prefixes = [[tok.cls_token_id]] * 4
+    single = make_engine(shared, batch_size=4)
+    spmd = make_engine(shared, mesh=make_mesh(data=4, model=2), batch_size=4)
+    assert single.generate_batch(imgs, prefixes) == spmd.generate_batch(
+        imgs, prefixes
+    )
+
+
+def test_spmd_batch_size_must_divide():
+    model = GitModel(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tok = BertTokenizer(build_tiny_vocab())
+    with pytest.raises(AssertionError):
+        CaptionEngine(
+            model, params, tok, TestTransform(crop_size=32),
+            batch_size=3, mesh=make_mesh(data=8, model=1),
+        )
+
+
+def test_spmd_serving_batcher(shared):
+    """The DynamicBatcher inherits SPMD through the engine's
+    dispatch_device_batch seam: results over the mesh equal the
+    single-device results request-for-request."""
+    from gitax.runtime.serving import DynamicBatcher
+
+    rng = np.random.RandomState(5)
+    payloads = []
+    for i in range(5):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.randint(0, 255, (40, 40, 3), np.uint8)
+        ).save(buf, format="JPEG")
+        payloads.append(base64.b64encode(buf.getvalue()).decode())
+
+    results = {}
+    for name, mesh in (("single", None), ("spmd", make_mesh(data=8, model=1))):
+        batcher = DynamicBatcher(
+            make_engine(shared, mesh=mesh), max_wait_ms=20.0, buckets=(8,)
+        )
+        try:
+            futs = [batcher.submit(p) for p in payloads]
+            results[name] = [f.result(timeout=120) for f in futs]
+        finally:
+            batcher.close()
+    assert results["single"] == results["spmd"]

@@ -278,6 +278,27 @@ def test_video_frame_order_matters(ws_ext, video_fwd_ref_caption):
     assert rev_ref != video_fwd_ref_caption
 
 
+def test_video_qa_cli_parity(ws_ext, video_fwd_ref_caption):
+    """Video QA: 6 frames AND a nonempty question prefix through both
+    CLIs (reference README.md:43-48; prefix tokenization
+    inference.py:93-108 composing with frame concat decoder.py:846-853).
+    The answer must match byte-for-byte AND differ from the no-prefix
+    caption (else the prefix silently fell out of the program)."""
+    payload = {
+        "type": "test_git_inference_single_image",
+        "image_path": ws_ext["frames"],
+        "model_name": E.VIDEO_MODEL_NAME,
+        "prefix": "what is the man holding ?",
+    }
+    r = E.run_reference_cli(ws_ext["ws"], ws_ext["hf_home"], "inference", payload)
+    _check(r, "reference video-QA CLI")
+    ref_ans = _cli_output_line(r)
+    r = E.run_gitax_cli(ws_ext["ws"], ws_ext["hf_home"], "inference", payload)
+    _check(r, "gitax video-QA CLI")
+    assert ref_ans == _cli_output_line(r)
+    assert ref_ans != video_fwd_ref_caption
+
+
 def test_trie_classification_cli_parity(ws_ext):
     """Trie-constrained classification: the reference CLI with its own
     TrieAutoRegressiveBeamSearch recipe enabled (REF_TRIE=1 swaps the

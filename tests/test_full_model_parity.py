@@ -130,6 +130,36 @@ def test_video_frames_end_to_end():
     np.testing.assert_array_equal(np.asarray(seqs), out["predictions"].numpy())
 
 
+def test_video_qa_frames_plus_prefix_end_to_end():
+    """Video QA: multi-frame memory (decoder.py:846-853) COMBINED with a
+    question prefix (decoder.py:986-1006) — the one input-convention
+    composition the reference advertises (README.md:43-48) but no other
+    test exercises.  Token-exact, prefix stripped from predictions."""
+    ref = build_reference_model(num_frames=3)
+    model, params = to_gitax(ref, num_frames=3)
+    rng = np.random.RandomState(4)
+    # B=1: the reference asserts len(prefix)==1 for B>1 (decoder.py:988)
+    frames = rng.randn(3, 1, 32, 32, 3).astype(np.float32)
+    prefix = np.asarray([[SOS, 7, 11]], np.int64)
+    with torch.no_grad():
+        out = ref(
+            {
+                "image": [
+                    torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in frames
+                ],
+                "prefix": torch.from_numpy(prefix),
+            }
+        )
+    video = jnp.asarray(frames.transpose(1, 0, 2, 3, 4))  # [B, F, H, W, 3]
+    seqs, _ = model.generate(
+        params,
+        video,
+        prefix_tokens=jnp.asarray(prefix, jnp.int32),
+        beam=BeamSearchConfig(num_beams=4, max_steps=12, eos_id=EOS),
+    )
+    np.testing.assert_array_equal(np.asarray(seqs), out["predictions"].numpy())
+
+
 def test_training_loss_end_to_end():
     """Reference forward_one_ce (decoder.py:916-975) vs gitax
     forward_logits + caption_loss on the same batch."""

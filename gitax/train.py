@@ -62,16 +62,23 @@ def forward_backward_example(image_files, captions, prefixs=None):
 
 
 def speed_test_forward_backward(duplicate=32, iterations=1000, dtype="bfloat16",
-                                fast_softmax=None):
-    """Throughput of the train step, batch 64, reduced precision
+                                fast_softmax=None, model_name=None,
+                                remat=False):
+    """Throughput of the train step, batch 2*duplicate, reduced precision
     (reference train.py:246-303 used fp16 on GPU; bf16 + compute-dtype
     score math is the TPU equivalent — the reference's model.half() ran
-    the softmax in fp16 too).  fast_softmax defaults to on for bf16."""
+    the softmax in fp16 too).  fast_softmax defaults to on for bf16.
+
+    model_name picks a zoo config (default: the reference protocol's
+    GIT_BASE); GIT_LARGE with duplicate=16 covers the other published
+    model size.  remat=True checkpoints the encoder blocks (trades
+    FLOPs for activation memory — GIT_LARGE at larger batches)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from .models import GitModel
+    from .models.config import get_model_param
     from .training import init_train_state, make_train_step
 
     import os.path as op
@@ -92,13 +99,14 @@ def speed_test_forward_backward(duplicate=32, iterations=1000, dtype="bfloat16",
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     batch["image"] = batch["image"].astype(compute_dtype)
 
-    model = GitModel.from_param({})
+    model = GitModel.from_param(get_model_param(model_name) if model_name else {})
     tx = optax.adamw(1e-5)
     state = init_train_state(model, jax.random.PRNGKey(0), tx)
     if fast_softmax is None:
         fast_softmax = dtype == "bfloat16"
     step = jax.jit(
-        make_train_step(model, tx, dtype=compute_dtype, fast_softmax=fast_softmax)
+        make_train_step(model, tx, dtype=compute_dtype,
+                        fast_softmax=fast_softmax, remat=remat)
     )
 
     # warmup (host transfer forces completion — block_until_ready does not

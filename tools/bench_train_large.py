@@ -1,0 +1,188 @@
+"""GIT_LARGE training throughput + ZeRO-1 optimizer-memory accounting.
+
+DESIGN.md's training table was GIT_BASE-shaped only (reference
+train.py:246-303 protocol); this measures the other published model
+size (VERDICT r3 next #8):
+
+  * `speed` (real chip): fwd+bwd images/s for GIT_LARGE at B=32 (and
+    optionally B=64 with encoder remat), same protocol as
+    gitax.train.speed_test_forward_backward — bf16 compute,
+    compute-dtype score math, adamw, synthetic COCO-caption batch.
+    GIT_BASE B=64 runs first as the round-over-round sanity row.
+  * `memory` (8-device CPU mesh, no TPU needed): per-device bytes of
+    the Adam moments under (a) replicated moments and (b)
+    gitax.parallel.zero1_shard_opt_state — read off the actual sharded
+    arrays' addressable shards, not estimated — plus XLA's
+    memory_analysis of the compiled train step where the backend
+    exposes it.
+
+Usage: python tools/bench_train_large.py [speed|memory|all]
+Env: GITAX_TRAIN_BENCH_ITERS (default 30)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ITERS = int(os.environ.get("GITAX_TRAIN_BENCH_ITERS", "30"))
+
+
+def _batch(bsz, tokens=16, crop=224):
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    toks = np.full((bsz, tokens), 1000, np.int32)
+    toks[:, 0] = 101
+    toks[:, -1] = 102
+    need = np.ones((bsz, tokens), np.int32)
+    need[:, 0] = 0
+    return {
+        "image": jnp.asarray(rng.randn(bsz, crop, crop, 3), jnp.bfloat16),
+        "caption_tokens": jnp.asarray(toks),
+        "need_predict": jnp.asarray(need),
+    }
+
+
+def _speed_row(model_name, bsz, remat=False):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gitax.models import GitModel
+    from gitax.models.config import get_model_param
+    from gitax.training import init_train_state, make_train_step
+
+    model = GitModel.from_param(
+        get_model_param(model_name) if model_name != "GIT_BASE" else {}
+    )
+    tx = optax.adamw(1e-5)
+    state = init_train_state(model, jax.random.PRNGKey(0), tx)
+    step = jax.jit(make_train_step(model, tx, dtype=jnp.bfloat16,
+                                   fast_softmax=True, remat=remat))
+    batch = _batch(bsz)
+    for _ in range(2):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])  # device sync (relay-safe)
+    t0 = time.time()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+    dt = time.time() - t0
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.params)
+    )
+    return {
+        "model": model_name,
+        "batch": bsz,
+        "remat": remat,
+        "img_per_s": round(bsz * ITERS / dt, 1),
+        "step_ms": round(dt / ITERS * 1e3, 1),
+        "params_M": round(n_params / 1e6, 1),
+    }
+
+
+def speed():
+    rows = [
+        _speed_row("GIT_BASE", 64),  # sanity vs the recorded ~814 img/s
+        _speed_row("GIT_LARGE", 32),
+        _speed_row("GIT_LARGE", 64, remat=True),
+    ]
+    return {"section": "train_speed_fwd_bwd", "iters": ITERS, "rows": rows}
+
+
+def _per_device_bytes(tree):
+    import jax
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "addressable_shards"):
+            total += leaf.addressable_shards[0].data.nbytes
+        else:
+            total += leaf.nbytes
+    return total
+
+
+def memory():
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+    )
+    import jax
+    import optax
+
+    from gitax.models import GitModel
+    from gitax.models.config import get_model_param
+    from gitax.parallel import make_mesh, shard_params, zero1_shard_opt_state
+    from gitax.training.trainer import TrainState, init_train_state, \
+        make_train_step
+
+    assert jax.default_backend() == "cpu" or len(jax.devices()) >= 8, (
+        "memory section wants the 8-device CPU mesh; run with "
+        "JAX_PLATFORMS=cpu")
+    model = GitModel.from_param(get_model_param("GIT_LARGE"))
+    tx = optax.adamw(1e-5)
+    state = init_train_state(model, jax.random.PRNGKey(0), tx)
+    mesh = make_mesh(data=8, model=1)
+    params = shard_params(state.params, mesh)
+    repl_bytes = _per_device_bytes(state.opt_state)
+    z_opt = zero1_shard_opt_state(tx.init(params), params, mesh)
+    z_bytes = _per_device_bytes(z_opt)
+    out = {
+        "section": "zero1_optimizer_memory",
+        "mesh": "8x1 (data x model)",
+        "adam_moments_per_device_MB": {
+            "replicated": round(repl_bytes / 1e6, 1),
+            "zero1": round(z_bytes / 1e6, 1),
+            "ratio": round(repl_bytes / max(z_bytes, 1), 2),
+        },
+    }
+    # XLA's own peak estimate for the compiled step, where exposed
+    try:
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+
+        from gitax.parallel import batch_partition_specs
+
+        batch = _batch(8, crop=224)
+        specs = batch_partition_specs(batch)
+        sbatch = {
+            k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in batch.items()
+        }
+        s_z = TrainState(step=state.step, params=params, opt_state=z_opt)
+        step = jax.jit(make_train_step(model, tx, dtype=jnp.bfloat16,
+                                       fast_softmax=True))
+        with jax.sharding.set_mesh(mesh):
+            ma = step.lower(s_z, sbatch).compile().memory_analysis()
+        if ma is not None:
+            out["xla_memory_analysis_MB"] = {
+                "temp": round(ma.temp_size_in_bytes / 1e6, 1),
+                "arguments": round(ma.argument_size_in_bytes / 1e6, 1),
+                "output": round(ma.output_size_in_bytes / 1e6, 1),
+            }
+    except Exception as e:  # noqa: BLE001 — backend-optional
+        out["xla_memory_analysis_MB"] = "unavailable: {!r}".format(e)
+    return out
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "all":
+        # speed wants the TPU, memory wants an 8-device CPU mesh — one
+        # process can't host both backends, so fan out
+        import subprocess
+
+        here = os.path.abspath(__file__)
+        subprocess.run([sys.executable, here, "speed"], check=True)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        subprocess.run([sys.executable, here, "memory"], env=env, check=True)
+        return
+    print(json.dumps({"speed": speed, "memory": memory}[which]()), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,7 @@ class GitModel(object):
 
     # -- encoder ---------------------------------------------------------
     def encode_images(self, params, images, dtype=jnp.float32, flash=None,
-                      fast=None):
+                      fast=None, remat=False):
         """images: [B,H,W,3] single image, or [B,F,H,W,3] video frames.
 
         Video frames are encoded per frame, each offset by its learned
@@ -69,7 +69,7 @@ class GitModel(object):
         if images.ndim == 4:
             return vit_forward(
                 params["image_encoder"], images, self.cfg.encoder, dtype,
-                flash=flash, fast=fast,
+                flash=flash, fast=fast, remat=remat,
             )
         b, f = images.shape[:2]
         if self.cfg.num_image_with_embedding:
@@ -78,7 +78,7 @@ class GitModel(object):
         flat = images.reshape((b * f,) + images.shape[2:])
         feats = vit_forward(
             params["image_encoder"], flat, self.cfg.encoder, dtype,
-            flash=flash, fast=fast,
+            flash=flash, fast=fast, remat=remat,
         )
         feats = feats.reshape(b, f, feats.shape[1], feats.shape[2])
         if self.cfg.num_image_with_embedding:
@@ -128,11 +128,13 @@ class GitModel(object):
 
     def build_memory(self, params, images, context_tokens=None,
                      context_lengths=None, dtype=jnp.float32, flash=None,
-                     fast=None):
+                     fast=None, remat=False):
         """Encode images and, when text context is given, append it —
         the memory-construction half of the reference forward_one
         (decoder.py:843-871).  Returns (memory, memory_valid|None)."""
-        visual = self.encode_images(params, images, dtype, flash=flash, fast=fast)
+        visual = self.encode_images(
+            params, images, dtype, flash=flash, fast=fast, remat=remat
+        )
         if context_tokens is None:
             return visual, None
         return self.append_text_context(
@@ -151,6 +153,7 @@ class GitModel(object):
         context_lengths=None,
         dtype=jnp.float32,
         fast=None,
+        remat=False,
     ):
         """[B,T] caption logits given images; the training/teacher-forcing
         path (decoder.py:926-932).  Optional text context is appended to
@@ -163,7 +166,7 @@ class GitModel(object):
         keeps f32 scores."""
         visual, ctx_valid = self.build_memory(
             params, images, context_tokens, context_lengths, dtype, flash=False,
-            fast=fast,
+            fast=fast, remat=remat,
         )
         if ctx_valid is not None:
             assert memory_valid is None, "pass context XOR memory_valid"

@@ -101,7 +101,7 @@ def _pos_embed_for(params, cfg: ViTConfig, gh, gw, dtype):
 
 
 def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None,
-                output_grid=True, fast=None):
+                output_grid=True, fast=None, remat=False):
     """images [B, H, W, 3] (NHWC, normalized) -> tokens [B, 1+gh*gw, width].
 
     Cites decoder.py:846-857 for how GIT consumes the full token grid.
@@ -150,6 +150,15 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=jnp.float32, flash=None,
             None,
         )
 
+    if remat:
+        # per-BLOCK rematerialization: the backward recomputes one block
+        # at a time, so the only depth-stacked residual is the scan carry
+        # ([L,B,S,W] — 228 MB for ViT-L B=32 S=145 bf16).  Checkpointing
+        # the whole encoder instead (the obvious jax.checkpoint(forward))
+        # makes XLA keep EVERY layer's recomputed intermediates live at
+        # once — measured 12.7 GB of HLO temps for that same shape, an
+        # OOM on 16 GB v5e
+        scan_fn = jax.checkpoint(scan_fn)
     x, _ = jax.lax.scan(scan_fn, x, params["blocks"])
     if not output_grid:
         # CLIP image-embedding mode (CLIP/model.py:270-274): ln_post on the

@@ -104,9 +104,13 @@ def speed_test_forward_backward(duplicate=32, iterations=1000, dtype="bfloat16",
     state = init_train_state(model, jax.random.PRNGKey(0), tx)
     if fast_softmax is None:
         fast_softmax = dtype == "bfloat16"
+    # donate the state (the real trainer, finetune.py, does): without
+    # donation XLA holds argument AND output copies of the f32
+    # params+moments — GIT_LARGE OOMs on 16 GB from that alone
     step = jax.jit(
         make_train_step(model, tx, dtype=compute_dtype,
-                        fast_softmax=fast_softmax, remat=remat)
+                        fast_softmax=fast_softmax, remat=remat),
+        donate_argnums=(0,),
     )
 
     # warmup (host transfer forces completion — block_until_ready does not

@@ -85,10 +85,12 @@ def make_train_step(model: GitModel, tx: Optional[optax.GradientTransformation] 
             # None (not False) when unset: the encoder keeps honoring a
             # cfg.encoder.fast_softmax=True model config
             fast=True if fast_softmax else None,
+            # per-BLOCK checkpoint inside the encoder scan (vit.py) — NOT
+            # jax.checkpoint(forward): whole-forward remat makes the
+            # backward hold every recomputed layer's intermediates at
+            # once (measured 12.7 GB HLO temp for ViT-L B=32, an OOM)
+            remat=remat,
         )
-
-    if remat:
-        forward = jax.checkpoint(forward)
 
     def loss_fn(params, batch):
         logits = forward(params, batch)

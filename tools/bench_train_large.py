@@ -30,7 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ITERS = int(os.environ.get("GITAX_TRAIN_BENCH_ITERS", "30"))
 
 
-def _batch(bsz, tokens=16, crop=224):
+def _batch(bsz, tokens=16, crop=160):
+    # crop 160 = the reference training protocol's iteration-0
+    # multi-scale size (train.py:186-207 schedule starts at
+    # min_size_range32[0]=160); the recorded GIT_BASE 814 img/s row
+    # measures exactly that shape
     import jax.numpy as jnp
     import numpy as np
 
@@ -47,7 +51,7 @@ def _batch(bsz, tokens=16, crop=224):
     }
 
 
-def _speed_row(model_name, bsz, remat=False):
+def _speed_row(model_name, bsz, remat=False, crop=160):
     import jax
     import jax.numpy as jnp
     import optax
@@ -61,9 +65,13 @@ def _speed_row(model_name, bsz, remat=False):
     )
     tx = optax.adamw(1e-5)
     state = init_train_state(model, jax.random.PRNGKey(0), tx)
+    # donate the state like the real trainer (finetune.py) — without
+    # donation XLA holds argument AND output copies of the f32
+    # params+moments (~9.4 GB for GIT_LARGE), which alone OOMs the chip
     step = jax.jit(make_train_step(model, tx, dtype=jnp.bfloat16,
-                                   fast_softmax=True, remat=remat))
-    batch = _batch(bsz)
+                                   fast_softmax=True, remat=remat),
+                   donate_argnums=(0,))
+    batch = _batch(bsz, crop=crop)
     for _ in range(2):
         state, metrics = step(state, batch)
     float(metrics["loss"])  # device sync (relay-safe)
@@ -78,6 +86,7 @@ def _speed_row(model_name, bsz, remat=False):
     return {
         "model": model_name,
         "batch": bsz,
+        "crop": crop,
         "remat": remat,
         "img_per_s": round(bsz * ITERS / dt, 1),
         "step_ms": round(dt / ITERS * 1e3, 1),
@@ -86,11 +95,27 @@ def _speed_row(model_name, bsz, remat=False):
 
 
 def speed():
-    rows = [
-        _speed_row("GIT_BASE", 64),  # sanity vs the recorded ~814 img/s
-        _speed_row("GIT_LARGE", 32),
-        _speed_row("GIT_LARGE", 64, remat=True),
+    configs = [
+        ("GIT_BASE", 64, False, 160),  # sanity vs the recorded ~814 img/s
+        # GIT_LARGE's ViT-L/14 wants /14 crops: 168 is the schedule
+        # analog of the /16 models' iteration-0 size 160
+        ("GIT_LARGE", 16, False, 168),  # remat-cost comparison point
+        ("GIT_LARGE", 32, False, 168),
+        ("GIT_LARGE", 32, True, 168),
+        ("GIT_LARGE", 64, True, 168),
+        # peak-shape row: a fixed 224 crop (the schedule's max size);
+        # GIT_BASE B=64 at 224 OOMs WITHOUT remat on 16 GB (measured:
+        # 14.76 GB of HLO temp), so remat is on
+        ("GIT_LARGE", 32, True, 224),
     ]
+    rows = []
+    for name, bsz, remat, crop in configs:
+        try:
+            rows.append(_speed_row(name, bsz, remat=remat, crop=crop))
+        except Exception as e:  # noqa: BLE001 — a row OOMing is a datum
+            rows.append({"model": name, "batch": bsz, "remat": remat,
+                         "crop": crop, "error": str(e)[:200]})
+        print(json.dumps({"row": rows[-1]}), file=sys.stderr, flush=True)
     return {"section": "train_speed_fwd_bwd", "iters": ITERS, "rows": rows}
 
 
@@ -107,10 +132,12 @@ def _per_device_bytes(tree):
 
 
 def memory():
-    os.environ.setdefault(
-        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
-    )
     import jax
+
+    # the axon sitecustomize pins the platform at interpreter startup;
+    # JAX_PLATFORMS=cpu alone does not win (same dance as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
     import optax
 
     from gitax.models import GitModel

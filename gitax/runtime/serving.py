@@ -17,7 +17,12 @@ batching.  This module does that:
   device dispatch for the whole group;
 * preprocessing (jpeg decode + resize/crop) runs on the CALLER's
   thread, so an HTTP frontend with a thread per connection decodes in
-  parallel while the batcher keeps the device busy.
+  parallel while the batcher keeps the device busy;
+* while dispatched batches are unresolved, sub-full groups keep
+  coalescing instead of aging out (busy-hold, `_wait_for_group`): on a
+  device that serializes programs an early sub-full dispatch gains no
+  latency, and each completion's resubmit wave gets a fresh window —
+  bounded by ``max_hold_ms`` so nothing starves.
 
 Padding rows replicate the last real request (exactly what the TSV
 engine's `_dispatch_batch` does for tail batches); padded outputs are
@@ -118,10 +123,18 @@ class DynamicBatcher(object):
                  max_wait_ms: float = 4.0,
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  max_in_flight: int = 3,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 max_hold_ms: Optional[float] = None):
         self.engine = engine
         self.max_batch = int(max_batch or engine.batch_size)
         self.max_wait = max_wait_ms / 1000.0
+        # staleness bound for the busy-hold policy (see _wait_for_group):
+        # a sub-full group may coalesce across in-flight completions for
+        # at most this long before dispatching anyway
+        self.max_hold = (
+            max_hold_ms / 1000.0 if max_hold_ms
+            else max(50 * self.max_wait, 0.2)
+        )
         bs = sorted({int(b) for b in buckets if 0 < int(b) <= self.max_batch})
         if not bs or bs[-1] != self.max_batch:
             bs.append(self.max_batch)
@@ -136,6 +149,10 @@ class DynamicBatcher(object):
         self._pending_count = 0
         self._cv = threading.Condition()
         self._closed = False
+        # dispatched-but-unresolved batches / total resolved batches —
+        # the busy-hold policy's inputs (guarded by _cv)
+        self._in_flight = 0
+        self._completed = 0
         # dispatch / completion split: jax dispatch is async, so the
         # batcher thread uploads + enqueues batch N+1 while the device
         # still runs batch N; the resolver thread syncs results and
@@ -265,25 +282,68 @@ class DynamicBatcher(object):
                 best_key, best_t = key, dq[0].arrival
         return best_key
 
+    def _full_key(self):
+        # called under the lock; a group at max_batch dispatches now
+        for k, d in self._pending.items():
+            if len(d) >= self.max_batch:
+                return k
+        return None
+
+    def _wait_for_group(self):
+        """Under the lock: block until some group should dispatch and
+        return its key (None only on close with nothing pending).
+
+        Policy: a FULL group dispatches immediately.  A sub-full group
+        waits max_wait from its oldest arrival — and, while dispatched
+        batches are still unresolved, KEEPS waiting: on a device that
+        serializes programs, a sub-full dispatch gains no latency (it
+        queues behind the running batch anyway) and wastes a whole
+        program, while each completion releases a wave of closed-loop
+        resubmits that deserves one fresh max_wait window to coalesce.
+        Without the busy-hold, C=16 closed-loop traffic phase-splits
+        into an alternating full-batch/straggler pattern (measured
+        33x B16 + 33x B1 per 8 s — two serial dispatches per round
+        where one would do).  max_hold bounds total staleness so a
+        group can't starve while other groups keep the device busy."""
+        while True:
+            key = self._oldest_key()
+            while key is None and not self._closed:
+                self._cv.wait()
+                key = self._oldest_key()
+            if key is None:
+                return None
+            dq = self._pending[key]
+            soft = dq[0].arrival + self.max_wait
+            hard = dq[0].arrival + self.max_hold
+            seen = self._completed
+            while not self._closed:
+                full = self._full_key()
+                if full is not None:
+                    return full
+                now = time.monotonic()
+                if now >= hard:
+                    return key
+                if now < soft:
+                    self._cv.wait(min(soft, hard) - now)
+                elif self._in_flight > 0:
+                    self._cv.wait(min(0.05, hard - now))
+                    if self._completed != seen:
+                        seen = self._completed
+                        soft = time.monotonic() + self.max_wait
+                else:
+                    return key
+            # closed: flush this group as-is (outer _loop iterates until
+            # the queue drains)
+            return key
+
     def _loop(self):
         try:
             while True:
                 with self._cv:
-                    key = self._oldest_key()
-                    while key is None and not self._closed:
-                        self._cv.wait()
-                        key = self._oldest_key()
-                    if key is None and self._closed:
+                    key = self._wait_for_group()
+                    if key is None:
                         return
                     dq = self._pending[key]
-                    # hold the group open until full or the oldest request
-                    # ages out; new arrivals (any group) re-notify
-                    deadline = dq[0].arrival + self.max_wait
-                    while len(dq) < self.max_batch:
-                        remaining = deadline - time.monotonic()
-                        if remaining <= 0 or self._closed:
-                            break
-                        self._cv.wait(remaining)
                     take = min(len(dq), self.max_batch)
                     items = [dq.popleft() for _ in range(take)]
                     self._pending_count -= take
@@ -323,6 +383,8 @@ class DynamicBatcher(object):
                 if not req.future.done():
                     req.future.set_exception(e)
             return
+        with self._cv:
+            self._in_flight += 1
         # blocks when max_in_flight batches are already queued — that
         # back-pressures the batcher (and transitively submitters)
         self._completions.put((items, seqs))
@@ -347,6 +409,14 @@ class DynamicBatcher(object):
                 for req in items:
                     if not req.future.done():
                         req.future.set_exception(e)
+            finally:
+                # wake the batcher: the busy-hold window refreshes on
+                # every completion (the resolved futures are about to
+                # trigger a resubmit wave)
+                with self._cv:
+                    self._in_flight -= 1
+                    self._completed += 1
+                    self._cv.notify_all()
 
     def close(self, timeout: float = 10.0):
         """Stop the batcher; queued requests still drain first.

@@ -32,7 +32,8 @@ from .common import dispatch_main
 
 def build_serving_stack(model_name, batch_size=32, max_wait_ms=4.0,
                         dtype="bfloat16", int8=False, num_beams=4,
-                        max_steps=40, use_native=None, mesh_shape=None):
+                        max_steps=40, max_text_len=40, use_native=None,
+                        mesh_shape=None, max_hold_ms=None):
     """Model + CaptionEngine + DynamicBatcher for `model_name`, built
     exactly like the TSV batch CLI (inference.py:166-205).
 
@@ -68,12 +69,18 @@ def build_serving_stack(model_name, batch_size=32, max_wait_ms=4.0,
         get_image_transform(param),
         batch_size=batch_size,
         beam=BeamSearchConfig(num_beams=num_beams, max_steps=max_steps),
+        # decode length is governed by max_text_len (reference parity:
+        # the engine sizes each prefix bucket's buffer at
+        # prefix_len + max_text_len, never below max_steps) — a small
+        # max_steps alone does NOT shorten generation
+        max_text_len=max_text_len,
         dtype=jdtype,
         use_native=use_native,
         int8=int8,
         mesh=mesh,
     )
-    return engine, DynamicBatcher(engine, max_wait_ms=max_wait_ms)
+    return engine, DynamicBatcher(engine, max_wait_ms=max_wait_ms,
+                                  max_hold_ms=max_hold_ms)
 
 
 MAX_BODY_BYTES = 32 * 1024 * 1024  # reject larger POSTs with 413
@@ -149,9 +156,10 @@ def make_http_server(batcher, model_name, host="127.0.0.1", port=8080,
 
 def serve_caption(model_name, host="127.0.0.1", port=8080, batch_size=32,
                   max_wait_ms=4.0, dtype="bfloat16", int8=False,
-                  num_beams=4, max_steps=40, use_native=None,
+                  num_beams=4, max_steps=40, max_text_len=40,
+                  use_native=None,
                   warmup=True, run_seconds=None, warm_prefix_lens=(1,),
-                  mesh_shape=None):
+                  mesh_shape=None, max_hold_ms=None):
     """Start the endpoint.  warmup: compile every bucket size (plus any
     expected VQA prefix lengths) BEFORE accepting traffic — a cold
     compile on the batcher thread stalls all groups for tens of seconds.
@@ -162,7 +170,8 @@ def serve_caption(model_name, host="127.0.0.1", port=8080, batch_size=32,
     engine, batcher = build_serving_stack(
         model_name, batch_size=batch_size, max_wait_ms=max_wait_ms,
         dtype=dtype, int8=int8, num_beams=num_beams, max_steps=max_steps,
-        use_native=use_native, mesh_shape=mesh_shape,
+        max_text_len=max_text_len, use_native=use_native,
+        mesh_shape=mesh_shape, max_hold_ms=max_hold_ms,
     )
     if warmup:
         batcher.warm(prefix_lens=tuple(warm_prefix_lens))

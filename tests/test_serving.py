@@ -4,6 +4,7 @@ import base64
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -192,6 +193,110 @@ def test_uint8_and_float_requests_never_share_a_batch(engine):
     assert got[2:] == want_u8
     # the two dtypes were separate dispatches even at equal shape
     assert batcher.stats.snapshot()["batches"] >= 2
+
+
+class _SlowFakeEngine(object):
+    """Deterministic device stand-in: records dispatch batch sizes and
+    sleeps a fixed per-batch 'compute' time, so the busy-hold timing
+    policy can be asserted without chip variance."""
+
+    class _Tok(object):
+        @staticmethod
+        def decode(ids, skip_special_tokens=True):
+            return "cap"
+
+    def __init__(self, batch_size=8, compute_s=0.3):
+        self.batch_size = batch_size
+        self.compute_s = compute_s
+        self.tokenizer = self._Tok()
+        self.dispatched = []  # real (pre-padding) sizes, in order
+        self.lock = threading.Lock()
+
+    def dispatch_device_batch(self, imgs, pref):
+        with self.lock:
+            self.dispatched.append(len(imgs))
+        time.sleep(self.compute_s)
+        return np.full((len(imgs), 4), 102, np.int32)
+
+
+def test_straggler_coalesces_while_device_busy():
+    """A sub-full group must NOT age out into its own dispatch while a
+    batch is still in flight: on a serialized device that gains no
+    latency and wastes a program.  (The C=16 closed-loop pathology:
+    the last-resolved client's resubmit misses its peers' batch and,
+    without the busy-hold, alternates full/1-row batches forever.)"""
+    fake = _SlowFakeEngine(batch_size=8, compute_s=0.4)
+    batcher = DynamicBatcher(fake, max_batch=8, max_wait_ms=20,
+                             max_hold_ms=5000)
+    img = np.zeros((8, 8, 3), np.uint8)
+    try:
+        first = [batcher.submit_array(img, [101]) for _ in range(8)]
+        time.sleep(0.05)   # full batch is now in flight (0.4 s compute)
+        straggler = batcher.submit_array(img, [101])
+        time.sleep(0.1)    # straggler is 100 ms > max_wait old, device busy
+        wave = [batcher.submit_array(img, [101]) for _ in range(7)]
+        for f in first + [straggler] + wave:
+            f.result(timeout=30)
+    finally:
+        batcher.close()
+    # two dispatches of 8 — the straggler waited for the wave instead of
+    # burning a 1-row program mid-flight
+    assert fake.dispatched == [8, 8], fake.dispatched
+
+
+def test_subfull_group_dispatches_when_idle():
+    """With the device idle the busy-hold must NOT engage: a sub-full
+    group still dispatches one max_wait after its oldest arrival."""
+    fake = _SlowFakeEngine(batch_size=8, compute_s=0.01)
+    batcher = DynamicBatcher(fake, max_batch=8, max_wait_ms=20,
+                             max_hold_ms=5000)
+    img = np.zeros((8, 8, 3), np.uint8)
+    try:
+        t0 = time.monotonic()
+        fut = batcher.submit_array(img, [101])
+        fut.result(timeout=30)
+        elapsed = time.monotonic() - t0
+    finally:
+        batcher.close()
+    assert fake.dispatched == [1]
+    # 20 ms window + 10 ms compute + scheduling slack; far below the
+    # 5 s max_hold (i.e. the idle path never consulted it)
+    assert elapsed < 2.0, elapsed
+
+
+def test_hard_cap_bounds_staleness_under_sustained_load():
+    """While OTHER groups keep the device permanently busy, a lone
+    sub-full group must still dispatch by max_hold."""
+    fake = _SlowFakeEngine(batch_size=4, compute_s=0.05)
+    batcher = DynamicBatcher(fake, max_batch=4, max_wait_ms=20,
+                             max_hold_ms=300)
+    img_a = np.zeros((8, 8, 3), np.uint8)
+    img_b = np.zeros((16, 16, 3), np.uint8)  # different group key
+    stop = threading.Event()
+
+    def flood():
+        # closed-loop full batches of group B keep in_flight > 0
+        while not stop.is_set():
+            futs = [batcher.submit_array(img_b, [101]) for _ in range(4)]
+            for f in futs:
+                f.result(timeout=30)
+
+    t = threading.Thread(target=flood, daemon=True)
+    t.start()
+    try:
+        time.sleep(0.1)  # flood established
+        t0 = time.monotonic()
+        lone = batcher.submit_array(img_a, [101])
+        lone.result(timeout=30)
+        waited = time.monotonic() - t0
+    finally:
+        stop.set()
+        t.join(timeout=30)
+        batcher.close()
+    # dispatched despite the device never going idle: bounded by
+    # max_hold (300 ms) + one in-flight compute + slack
+    assert waited < 2.0, waited
+    assert 1 in fake.dispatched
 
 
 def test_warm_compiles_all_buckets(engine):

@@ -44,15 +44,28 @@ def param_partition_specs(params):
     def spec_for(path, leaf):
         keys = [getattr(p, "key", None) for p in path]
         joined = "/".join(k for k in keys if k)
+        leaf_name = keys[-1] or ""
         nd = np.ndim(leaf)
-        if "qkv/kernel" in joined or "c_fc/kernel" in joined or "intermediate/kernel" in joined:
-            return P(*([None] * (nd - 1)), "model")
-        if "qkv/bias" in joined or "c_fc/bias" in joined or "intermediate/bias" in joined:
-            return P(*([None] * (nd - 1)), "model")
-        if "out/kernel" in joined or "c_proj/kernel" in joined or (
-            "mlp/output/kernel" in joined
-        ):
-            return P(*([None] * (nd - 2)), "model", None)
+        # match the module by path and the leaf by EXACT name: the int8
+        # path adds kernel_q8/kernel_q8_dyn (same layout as kernel) and
+        # kernel_scale (per-OUTPUT-channel, [L, out]); a substring match
+        # on "out/kernel" would catch "out/kernel_scale" and shard the
+        # layer axis over 'model' — wrong layout and a crash whenever TP
+        # size does not divide num_layers
+        col = any(t in joined for t in ("qkv/", "c_fc/", "intermediate/"))
+        row = any(
+            t in joined for t in ("attn/out/", "c_proj/", "mlp/output/")
+        )
+        if leaf_name in ("kernel", "kernel_q8", "kernel_q8_dyn"):
+            if col:
+                return P(*([None] * (nd - 1)), "model")
+            if row:
+                return P(*([None] * (nd - 2)), "model", None)
+        elif leaf_name in ("bias", "kernel_scale"):
+            # per-output-channel vectors: column-parallel outputs are
+            # sharded, row-parallel outputs are full-width -> replicate
+            if col:
+                return P(*([None] * (nd - 1)), "model")
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

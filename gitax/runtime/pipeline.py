@@ -125,6 +125,18 @@ class CaptionEngine(object):
             from ..ops.flash_attention import use_pallas
 
             decode_kernel = use_pallas()
+            # Mosaic tiles the lane (last) dim at 128: the kernel's
+            # fused-KV layout slices [.., 2*head_dim] per head, so
+            # head_dim must be a multiple of 64 (every published GIT
+            # model is 64; toy/custom configs fall back to the
+            # token-exact XLA path instead of a Mosaic compile error)
+            head_dim = model.cfg.hidden_size // model.cfg.num_heads
+            if decode_kernel and head_dim % 64 != 0:
+                logging.info(
+                    "decode kernel disabled: head_dim %d not 64-aligned",
+                    head_dim,
+                )
+                decode_kernel = False
         self._decode_kernel = decode_kernel
         # SPMD over a jax.sharding.Mesh: batches shard over the 'data'
         # axis (params replicated, or TP-sharded over 'model'), so ONE
@@ -307,7 +319,10 @@ class CaptionEngine(object):
         serving DynamicBatcher both come through here, so enabling the
         mesh makes every product surface SPMD at once."""
         if imgs.dtype != np.uint8:
-            imgs = imgs.astype(np.float32)
+            # np.asarray is a no-op when already float32 — _dispatch_batch
+            # feeds pre-cast arrays, so avoid a full extra host memcpy on
+            # the host-bound e2e path
+            imgs = np.asarray(imgs, np.float32)
         pref = np.asarray(pref, np.int32)
         fn = self._caption_fn(pref.shape[1], imgs.shape[1:3])
         if self.mesh is None:
@@ -327,7 +342,7 @@ class CaptionEngine(object):
             pref = np.concatenate([pref, np.repeat(pref[-1:], pad_n, axis=0)])
         if imgs.dtype != np.uint8:
             # cast on host so the transfer is already activation-width
-            imgs = np.asarray(imgs).astype(self.dtype)
+            imgs = np.asarray(imgs, self.dtype)
 
         def sharding(nd):
             return NamedSharding(self.mesh, P("data", *([None] * (nd - 1))))
@@ -349,7 +364,7 @@ class CaptionEngine(object):
         pad_n = (-n) % b
         imgs = np.stack(images + [images[-1]] * pad_n)
         if imgs.dtype != np.uint8:
-            imgs = imgs.astype(np.float32)
+            imgs = np.asarray(imgs, np.float32)
         pref = np.asarray(prefixes + [prefixes[-1]] * pad_n, np.int32)
         outs = []
         for i in range(0, len(imgs), b):

@@ -131,8 +131,11 @@ class DynamicBatcher(object):
         # staleness bound for the busy-hold policy (see _wait_for_group):
         # a sub-full group may coalesce across in-flight completions for
         # at most this long before dispatching anyway
+        # `is not None` so max_hold_ms=0 means "no hold beyond max_wait"
+        # instead of silently falling back to the default
         self.max_hold = (
-            max_hold_ms / 1000.0 if max_hold_ms
+            max(max_hold_ms / 1000.0, self.max_wait)
+            if max_hold_ms is not None
             else max(50 * self.max_wait, 0.2)
         )
         bs = sorted({int(b) for b in buckets if 0 < int(b) <= self.max_batch})
@@ -142,7 +145,9 @@ class DynamicBatcher(object):
         # admission control: total UNDISPATCHED requests across all
         # groups; max_in_flight separately bounds dispatched batches.
         # Default 8 full batches of headroom.
-        self.max_queue = int(max_queue) if max_queue else 8 * self.max_batch
+        self.max_queue = (
+            int(max_queue) if max_queue is not None else 8 * self.max_batch
+        )
         self.stats = ServingStats()
         # group key (prefix_len, h, w, dtype) -> deque of _Request
         self._pending = collections.defaultdict(collections.deque)
@@ -317,12 +322,18 @@ class DynamicBatcher(object):
             hard = dq[0].arrival + self.max_hold
             seen = self._completed
             while not self._closed:
-                full = self._full_key()
-                if full is not None:
-                    return full
+                # the hard deadline outranks fullness: under sustained
+                # overload some group is ALWAYS full, and checking
+                # fullness first would starve every other group forever
+                # (its hard deadline never reached) — max_hold is a
+                # promise, so the oldest group dispatches once it ages
+                # out even while full groups keep arriving
                 now = time.monotonic()
                 if now >= hard:
                     return key
+                full = self._full_key()
+                if full is not None:
+                    return full
                 if now < soft:
                     self._cv.wait(min(soft, hard) - now)
                 elif self._in_flight > 0:
@@ -375,7 +386,11 @@ class DynamicBatcher(object):
                 np.int32,
             )
             seqs = eng.dispatch_device_batch(imgs, pref)
-            self.stats.record_batch(n, bucket)
+            # seqs may have more rows than `bucket` (mesh padding to the
+            # data-axis multiple happens inside the engine); record the
+            # ACTUAL device batch so /stats padding numbers are honest.
+            # .shape is metadata — reading it does not sync the device.
+            self.stats.record_batch(n, int(seqs.shape[0]))
         except BaseException as e:  # noqa: BLE001 — futures must not hang
             logging.exception("serving dispatch failed")
             self.stats.record_error()

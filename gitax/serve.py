@@ -98,11 +98,19 @@ def make_http_server(batcher, model_name, host="127.0.0.1", port=8080,
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
-        def _reply(self, code, payload):
+        def _reply(self, code, payload, close=False):
+            # close=True for replies sent WITHOUT draining the request
+            # body: on an HTTP/1.1 keep-alive connection the unread body
+            # bytes would otherwise be parsed as the next request line,
+            # desyncing every later exchange on the connection.
+            # send_header('Connection','close') also sets
+            # self.close_connection in BaseHTTPRequestHandler.
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if close:
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -119,13 +127,24 @@ def make_http_server(batcher, model_name, host="127.0.0.1", port=8080,
                 self._reply(404, {"error": "unknown path %s" % self.path})
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    self._reply(
+                        400, {"error": "bad Content-Length"}, close=True
+                    )
+                    return
                 if length < 0:
-                    self._reply(400, {"error": "negative Content-Length"})
+                    self._reply(
+                        400, {"error": "negative Content-Length"}, close=True
+                    )
                     return
                 if length > MAX_BODY_BYTES:
+                    # body is left unread — must close the connection
                     self._reply(
-                        413, {"error": "body exceeds %d bytes" % MAX_BODY_BYTES}
+                        413,
+                        {"error": "body exceeds %d bytes" % MAX_BODY_BYTES},
+                        close=True,
                     )
                     return
                 req = json.loads(self.rfile.read(length) or b"{}")

@@ -402,6 +402,10 @@ def test_http_error_mapping():
         conn.endheaders()
         resp = conn.getresponse()
         assert resp.status == 413
+        # the body was never drained: the server must close the
+        # keep-alive connection or the unread bytes desync the next
+        # request on it
+        assert resp.getheader("Connection") == "close"
         conn.close()
 
         # negative Content-Length: 400, not a blocking read-to-EOF
@@ -412,7 +416,68 @@ def test_http_error_mapping():
         conn.endheaders()
         resp = conn.getresponse()
         assert resp.status == 400
+        assert resp.getheader("Connection") == "close"
         conn.close()
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_open_loop_overload_does_not_starve_other_groups():
+    """Open-loop overload: group B's pending queue is kept >= max_batch
+    CONTINUOUSLY (full group always available), so the busy-hold's
+    'wait for idle' never triggers.  The hard max_hold deadline must
+    outrank fullness, or the lone group-A request starves forever
+    (pre-fix repro: >5 s starvation against a 300 ms max_hold)."""
+    fake = _SlowFakeEngine(batch_size=4, compute_s=0.02)
+    batcher = DynamicBatcher(fake, max_batch=4, max_wait_ms=20,
+                             max_hold_ms=300, max_queue=1000)
+    img_a = np.zeros((8, 8, 3), np.uint8)
+    img_b = np.zeros((16, 16, 3), np.uint8)
+    stop = threading.Event()
+
+    def flood():
+        # keep >= 2*max_batch of group B queued at all times (open loop)
+        backlog = []
+        while not stop.is_set():
+            while batcher.queue_depth() < 8 and not stop.is_set():
+                backlog.append(batcher.submit_array(img_b, [101]))
+            time.sleep(0.002)
+        for f in backlog:
+            f.result(timeout=60)
+
+    t = threading.Thread(target=flood, daemon=True)
+    t.start()
+    try:
+        time.sleep(0.1)  # flood established, full groups back to back
+        t0 = time.monotonic()
+        lone = batcher.submit_array(img_a, [101])
+        lone.result(timeout=30)
+        waited = time.monotonic() - t0
+    finally:
+        stop.set()
+        t.join(timeout=60)
+        batcher.close(timeout=120)
+    # bounded by max_hold (300 ms) + one in-flight compute + slack
+    assert waited < 2.0, waited
+    assert 1 in fake.dispatched
+
+
+def test_zero_valued_knobs_are_honored():
+    """max_hold_ms=0 means 'no hold beyond max_wait' and max_queue=0
+    means 'reject everything' — falsy-zero must not silently fall back
+    to the defaults."""
+    from gitax.runtime.serving import OverloadedError
+
+    fake = _SlowFakeEngine(batch_size=8, compute_s=0.01)
+    b = DynamicBatcher(fake, max_batch=8, max_wait_ms=20, max_hold_ms=0)
+    try:
+        assert b.max_hold == pytest.approx(b.max_wait)
+    finally:
+        b.close()
+    b2 = DynamicBatcher(fake, max_batch=8, max_wait_ms=20, max_queue=0)
+    try:
+        with pytest.raises(OverloadedError):
+            b2.submit_array(np.zeros((8, 8, 3), np.uint8), [101])
+    finally:
+        b2.close()

@@ -177,3 +177,85 @@ def test_spmd_serving_batcher(shared):
         finally:
             batcher.close()
     assert results["single"] == results["spmd"]
+
+
+def test_int8_partition_specs_exact_leaf_match(shared):
+    """int8 param trees add kernel_q8 (kernel layout) and kernel_scale
+    (per-output-channel [L, out]).  A substring match on 'out/kernel'
+    used to catch 'out/kernel_scale' and shard the LAYER axis over
+    'model' — wrong layout, and a crash whenever TP does not divide
+    num_layers.  Assert the exact-leaf rules."""
+    from jax.sharding import PartitionSpec as P
+
+    from gitax.ops.quant import quantize_git_params
+    from gitax.parallel.mesh import param_partition_specs
+
+    model, params, tok = shared
+    q = quantize_git_params(params, encoder=True)
+    specs = param_partition_specs(q)
+    t = specs["textual"]["blocks"]
+    # column-parallel: kernel sharded on out axis, scale follows the out axis
+    assert t["attn"]["qkv"]["kernel_q8"] == P(None, None, "model")
+    assert t["attn"]["qkv"]["kernel_scale"] == P(None, "model")
+    assert t["mlp"]["intermediate"]["kernel_q8"] == P(None, None, "model")
+    assert t["mlp"]["intermediate"]["kernel_scale"] == P(None, "model")
+    # row-parallel: kernel sharded on the IN axis, per-output scale replicated
+    assert t["attn"]["out"]["kernel_q8"] == P(None, "model", None)
+    assert t["attn"]["out"]["kernel_scale"] == P()
+    assert t["mlp"]["output"]["kernel_q8"] == P(None, "model", None)
+    assert t["mlp"]["output"]["kernel_scale"] == P()
+    # w8a8 encoder kernels keep the same layout as their fp kernels
+    v = specs["image_encoder"]["blocks"]
+    assert v["attn"]["qkv"]["kernel_q8_dyn"] == P(None, None, "model")
+    assert v["attn"]["out"]["kernel_q8_dyn"] == P(None, "model", None)
+    assert v["attn"]["out"]["kernel_scale"] == P()
+    # tied output head stays replicated
+    assert specs["textual"]["output_words_q8_t"] == P()
+    assert specs["textual"]["output_words_scale"] == P()
+
+
+def test_int8_tp_mesh_engine(shared):
+    """int8 + TP=4 (TP does NOT divide num_layers=2): engine construction
+    used to crash in shard_params ('dimension 0 should be divisible by
+    4'); now the scales replicate and captions match single-device
+    int8."""
+    model, params, tok = shared
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 255, (32, 32, 3), np.uint8) for _ in range(4)]
+    prefixes = [[tok.cls_token_id]] * 4
+
+    def int8_engine(mesh):
+        return CaptionEngine(
+            model, params, tok, TestTransform(crop_size=32),
+            batch_size=4, beam=BeamSearchConfig(num_beams=2, max_steps=8),
+            dtype=jnp.float32, int8=True, mesh=mesh,
+        )
+
+    single = int8_engine(None)
+    spmd = int8_engine(make_mesh(data=2, model=4))
+    assert single.generate_batch(imgs, prefixes) == spmd.generate_batch(
+        imgs, prefixes
+    )
+
+
+def test_spmd_stats_record_mesh_padding(shared):
+    """On a data=8 mesh a 1-request dispatch pads to 8 device rows inside
+    the engine; /stats must report the ACTUAL device batch (8, 7 padded
+    slots), not the pre-mesh bucket."""
+    from gitax.runtime.serving import DynamicBatcher
+
+    batcher = DynamicBatcher(
+        make_engine(shared, mesh=make_mesh(data=8, model=1)),
+        max_wait_ms=10.0, buckets=(1, 8),
+    )
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((40, 40, 3), np.uint8)).save(buf, format="JPEG")
+    payload = base64.b64encode(buf.getvalue()).decode()
+    try:
+        batcher.submit(payload).result(timeout=120)
+    finally:
+        batcher.close()
+    snap = batcher.stats.snapshot()
+    assert snap["batches"] == 1
+    assert snap["batch_size_hist"] == {8: 1}
+    assert snap["padded_slots"] == 7

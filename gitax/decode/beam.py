@@ -117,6 +117,10 @@ def _top_k_iterative(x, k, small_axis=4096):
       beam step on TPU at this width.
     """
     b, n = x.shape
+    # lax.top_k raises an opaque error when k > n, and the iterative path
+    # below would silently repeat -inf entries; neither is a valid ask
+    # for any current call site — fail loudly at trace time instead
+    assert k <= n, "top-k asked for k=%d of an axis of size %d" % (k, n)
     if n <= small_axis:
         return jax.lax.top_k(x, k)
     rows = jnp.arange(b)

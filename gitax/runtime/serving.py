@@ -130,7 +130,16 @@ class DynamicBatcher(object):
         self.max_wait = max_wait_ms / 1000.0
         # staleness bound for the busy-hold policy (see _wait_for_group):
         # a sub-full group may coalesce across in-flight completions for
-        # at most this long before dispatching anyway
+        # at most this long before dispatching anyway.
+        # Latency trade-off under SPARSE traffic: an isolated sub-full
+        # request arriving while any batch is in flight waits for that
+        # batch to resolve plus a fresh max_wait (bounded by max_hold,
+        # default 200 ms) instead of dispatching after max_wait, and it
+        # forgoes the max_in_flight upload/compute overlap.  The hold
+        # pays off only when completions trigger resubmit waves
+        # (closed-loop clients: measured 64.5 -> 125.4 req/s at C=16);
+        # latency-sensitive sparse deployments should lower max_hold_ms
+        # (0 disables the hold entirely).
         # `is not None` so max_hold_ms=0 means "no hold beyond max_wait"
         # instead of silently falling back to the default
         self.max_hold = (

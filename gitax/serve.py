@@ -69,10 +69,11 @@ def build_serving_stack(model_name, batch_size=32, max_wait_ms=4.0,
         get_image_transform(param),
         batch_size=batch_size,
         beam=BeamSearchConfig(num_beams=num_beams, max_steps=max_steps),
-        # decode length is governed by max_text_len (reference parity:
-        # the engine sizes each prefix bucket's buffer at
-        # prefix_len + max_text_len, never below max_steps) — a small
-        # max_steps alone does NOT shorten generation
+        # decode length: the engine sizes each prefix bucket's buffer at
+        # max(max_steps, prefix_len + max_text_len), so to SHORTEN
+        # generation both knobs must come down — a small max_steps alone
+        # is floored by prefix_len + max_text_len (reference parity), and
+        # a small max_text_len alone is floored by max_steps
         max_text_len=max_text_len,
         dtype=jdtype,
         use_native=use_native,

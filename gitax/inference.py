@@ -106,13 +106,22 @@ def _build_model(model_name, param, dtype=None):
 
 
 def test_git_inference_single_image(image_path, model_name, prefix="",
-                                    vocab_file=None):
+                                    vocab_file=None, mesh_shape=None):
     """Single image/video caption or QA (reference inference.py:67-109).
 
     vocab_file: optional path to a class-name list (one per line, e.g.
     aux_data/imagenet/imagenet_unique_readable_names.txt) — switches to
     trie-constrained classification decoding (the reference's
-    commented-in option, model.py:42-48)."""
+    commented-in option, model.py:42-48).
+
+    mesh_shape: int N or [data, model] — run the (beam OR trie) decode
+    as one SPMD program over an N-chip jax.sharding.Mesh, same contract
+    as test_git_inference_single_tsv: params TP-shard over 'model', the
+    batch row replicates over 'data' padding slots (B=1 here), and the
+    output is row 0 — token-identical to the single-device run."""
+    import contextlib
+
+    import jax
     import jax.numpy as jnp
 
     from .decode import BeamSearchConfig
@@ -125,6 +134,14 @@ def test_git_inference_single_image(image_path, model_name, prefix="",
     imgs = np.stack([transform(load_image(p)) for p in image_path])
 
     model, params = _build_model(model_name, param)
+    mesh = None
+    if mesh_shape is not None:
+        from .parallel import make_mesh, shard_params
+
+        if isinstance(mesh_shape, int):
+            mesh_shape = (mesh_shape, 1)
+        mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+        params = shard_params(params, mesh)
     # high-res models (MinMaxResizeForTest) produce dimensions that are
     # not patch multiples; the reference's strided patchify conv simply
     # truncates the remainder pixels (CLIP/model.py:221), so do the same
@@ -140,24 +157,42 @@ def test_git_inference_single_image(image_path, model_name, prefix="",
     from .tokenization import encode_prefix
 
     input_ids = encode_prefix(tokenizer, prefix, max_text_len=40)
+    prefix_ids = jnp.asarray([input_ids], jnp.int32)
 
-    if vocab_file:
-        from .common import load_list_file
-        from .decode import build_vocab_trie
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        trie = build_vocab_trie(tokenizer, load_list_file(vocab_file))
-        seqs, _ = model.generate(
-            params,
-            images,
-            jnp.asarray([input_ids], jnp.int32),
-            mode="trie",
-            trie=trie,
-        )
-    else:
-        beam = BeamSearchConfig(num_beams=4, max_steps=1024)
-        seqs, _ = model.generate(
-            params, images, jnp.asarray([input_ids], jnp.int32), beam=beam
-        )
+        def put(x):
+            # every data shard needs equal rows: replicate the one real
+            # row into the padding slots (dispatch_device_batch's rule)
+            d = mesh.shape["data"]
+            x = jnp.concatenate([x] * d, axis=0)
+            return jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            )
+
+        images, prefix_ids = put(images), put(prefix_ids)
+    ctx = (
+        jax.sharding.set_mesh(mesh) if mesh is not None
+        else contextlib.nullcontext()
+    )
+
+    with ctx:
+        if vocab_file:
+            from .common import load_list_file
+            from .decode import build_vocab_trie
+
+            trie = build_vocab_trie(tokenizer, load_list_file(vocab_file))
+            seqs, _ = model.generate(
+                params,
+                images,
+                prefix_ids,
+                mode="trie",
+                trie=trie,
+            )
+        else:
+            beam = BeamSearchConfig(num_beams=4, max_steps=1024)
+            seqs, _ = model.generate(params, images, prefix_ids, beam=beam)
     cap = tokenizer.decode(np.asarray(seqs)[0].tolist(), skip_special_tokens=True)
     logging.info("output: %s", cap)
     return cap

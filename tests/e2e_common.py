@@ -546,11 +546,13 @@ def run_reference_cli(ws, hf_home, module, payload, timeout=600, extra_env=None)
     )
 
 
-def run_gitax_cli(ws, hf_home, module, payload, timeout=900):
+def run_gitax_cli(ws, hf_home, module, payload, timeout=900, extra_env=None):
     env = strip_remote_tpu_env(dict(os.environ))
     env["PYTHONPATH"] = REPO_ROOT
     env["HF_HOME"] = hf_home
     env["JAX_PLATFORMS"] = "cpu"
+    if extra_env:
+        env.update(extra_env)
     return subprocess.run(
         [sys.executable, "-m", "gitax." + module, "-p", _json.dumps(payload)],
         cwd=ws, env=env, capture_output=True, text=True, timeout=timeout,

@@ -329,6 +329,101 @@ def test_trie_classification_cli_parity(ws_ext):
     assert ref_out == _cli_output_line(r)
 
 
+MESH_ENV = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+
+
+def test_caption_tsv_mesh_cli_byte_parity(ws, caption_outputs):
+    """The gitax CLI's mesh_shape path (one SPMD program over an
+    8-virtual-device DPxTP mesh) vs the REFERENCE CLI's caption TSV:
+    byte-identical.  This is the dual-framework proof that enabling the
+    mesh at the product surface changes nothing observable
+    (VERDICT r4 next #1)."""
+    ref_tsv, _ = caption_outputs
+    payload = {
+        "type": "test_git_inference_single_tsv",
+        "image_tsv": "img.tsv",
+        "model_name": E.MODEL_NAME,
+        "question_tsv": None,
+        "out_tsv": "gitax.caption.mesh.tsv",
+        "dtype": "float32",
+        "use_native": False,
+        "batch_size": 4,
+        "mesh_shape": [4, 2],
+    }
+    r = E.run_gitax_cli(
+        ws["ws"], ws["hf_home"], "inference", payload, extra_env=MESH_ENV
+    )
+    _check(r, "gitax mesh caption CLI")
+    assert _read(ref_tsv) == _read(op.join(ws["ws"], "gitax.caption.mesh.tsv"))
+
+
+def test_trie_classification_mesh_cli_parity(ws_ext):
+    """Trie-constrained classification through the single-image CLI's
+    mesh_shape path vs the reference CLI (REF_TRIE=1): identical class
+    string (VERDICT r4 next #1b — the trie family over the mesh at the
+    CLI surface)."""
+    payload = {
+        "type": "test_git_inference_single_image",
+        "image_path": op.join(E.REFERENCE_ROOT, "aux_data", "images", "1.jpg"),
+        "model_name": E.MODEL_NAME,
+        "prefix": "",
+    }
+    r = E.run_reference_cli(
+        ws_ext["ws"], ws_ext["hf_home"], "inference", payload,
+        extra_env={"REF_TRIE": "1"},
+    )
+    _check(r, "reference trie CLI (mesh cmp)")
+    ref_out = _cli_output_line(r)
+    r = E.run_gitax_cli(
+        ws_ext["ws"], ws_ext["hf_home"], "inference",
+        dict(payload, vocab_file=ws_ext["imagenet_names"],
+             mesh_shape=[4, 2]),
+        extra_env=MESH_ENV,
+    )
+    _check(r, "gitax mesh trie CLI")
+    assert ref_out == _cli_output_line(r)
+
+
+@pytest.fixture(scope="session")
+def hires_ref_tsv(ws_ext):
+    payload = {
+        "type": "test_git_inference_single_tsv",
+        "image_tsv": "img_wide.tsv",
+        "model_name": E.HIRES_MODEL_NAME,
+        "question_tsv": None,
+        "out_tsv": "ref.hires.tsv",
+    }
+    r = E.run_reference_cli(ws_ext["ws"], ws_ext["hf_home"], "inference", payload)
+    _check(r, "reference hires CLI")
+    return op.join(ws_ext["ws"], "ref.hires.tsv")
+
+
+def test_hires_minmax_mesh_cli_byte_parity(ws_ext, hires_ref_tsv):
+    """MinMax/high-res family through the CLI mesh path vs the reference
+    CLI: ragged exact-grid buckets (1-3 rows) all pad up to the mesh's
+    data axis — bytes must still match (VERDICT r4 next #1a at the CLI
+    surface)."""
+    payload = {
+        "type": "test_git_inference_single_tsv",
+        "image_tsv": "img_wide.tsv",
+        "model_name": E.HIRES_MODEL_NAME,
+        "question_tsv": None,
+        "out_tsv": "gitax.hires.mesh.tsv",
+        "dtype": "float32",
+        "use_native": False,
+        "batch_size": 4,
+        "mesh_shape": [4, 2],
+    }
+    r = E.run_gitax_cli(
+        ws_ext["ws"], ws_ext["hf_home"], "inference", payload,
+        extra_env=MESH_ENV,
+    )
+    _check(r, "gitax mesh hires CLI")
+    a = _read(hires_ref_tsv)
+    b = _read(op.join(ws_ext["ws"], "gitax.hires.mesh.tsv"))
+    assert a and a == b
+
+
 def test_trie_second_image_cli_parity(ws_ext):
     """Same, on the second demo image (different winning class path
     through the trie exercises multi-token names)."""
@@ -352,7 +447,7 @@ def test_trie_second_image_cli_parity(ws_ext):
     assert ref_out == _cli_output_line(r)
 
 
-def test_hires_minmax_tsv_byte_parity(ws_ext):
+def test_hires_minmax_tsv_byte_parity(ws_ext, hires_ref_tsv):
     """MinMaxResizeForTest family (test_respect_ratio_max param,
     reference inference.py:29-64,112-117): NON-square inputs with odd
     sizes -> aspect-preserving resize, runtime pos-emb interpolation,
@@ -363,18 +458,13 @@ def test_hires_minmax_tsv_byte_parity(ws_ext):
         "model_name": E.HIRES_MODEL_NAME,
         "question_tsv": None,
     }
-    r = E.run_reference_cli(
-        ws_ext["ws"], ws_ext["hf_home"], "inference",
-        dict(payload, out_tsv="ref.hires.tsv"),
-    )
-    _check(r, "reference hires CLI")
     r = E.run_gitax_cli(
         ws_ext["ws"], ws_ext["hf_home"], "inference",
         dict(payload, out_tsv="gitax.hires.tsv", dtype="float32",
              use_native=False, batch_size=3),
     )
     _check(r, "gitax hires CLI")
-    a = _read(op.join(ws_ext["ws"], "ref.hires.tsv"))
+    a = _read(hires_ref_tsv)
     b = _read(op.join(ws_ext["ws"], "gitax.hires.tsv"))
     assert a, "reference produced an empty hires TSV"
     caps = [json.loads(line.split(b"\t")[1])[0]["caption"]
@@ -420,6 +510,18 @@ def test_full_scale_git_base_caption_byte_parity(tmp_path_factory):
             for line in a.strip().split(b"\n")]
     assert all(len(c.split()) >= 3 for c in caps), caps
     assert a == b
+    # GIT_BASE-scale MESH run (VERDICT r4 next #1c): the same CLI over an
+    # 8-virtual-device DP mesh must also match the reference byte-for-byte
+    # — real ViT-B/16 geometry exercises shardings the 96-px toy cannot.
+    r = E.run_gitax_cli(
+        ws["ws"], ws["hf_home"], "inference",
+        dict(payload, out_tsv="gitax.caption.mesh.tsv", dtype="float32",
+             use_native=False, batch_size=4, mesh_shape=[4, 2]),
+        timeout=3600,
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    _check(r, "gitax full-scale mesh caption CLI")
+    assert a == _read(op.join(ws["ws"], "gitax.caption.mesh.tsv"))
 
 
 def test_native_eval_runs_on_e2e_outputs(ws, caption_outputs):

@@ -238,6 +238,129 @@ def test_int8_tp_mesh_engine(shared):
     )
 
 
+def test_spmd_varshape_minmax_tsv_byte_identical(shared, tmp_path):
+    """MinMax/high-res family over the mesh (VERDICT r4 next #1a):
+    dispatch_varshape produces small ragged exact-grid buckets (1-3 rows
+    each here), which hit the engine's pad-to-data-axis path hardest —
+    every bucket pads up to 8 device rows.  run_caption_tsv through the
+    8-device mesh must write the same bytes as the single-device engine.
+    Match: reference inference.py:29-64 (MinMaxResizeForTest)."""
+    model, params, tok = shared
+    sizes = [(40, 56), (56, 40), (48, 48), (33, 47), (47, 33), (64, 36), (40, 56)]
+    img_tsv = str(tmp_path / "imgs_minmax.tsv")
+    tsv_writer(
+        [["k{}".format(i), jpeg_b64(i, size=s)] for i, s in enumerate(sizes)],
+        img_tsv,
+    )
+
+    def minmax_engine(mesh):
+        return CaptionEngine(
+            model, params, tok,
+            TestTransform(crop_size=32, respect_ratio_max=48),
+            batch_size=8, beam=BeamSearchConfig(num_beams=2, max_steps=8),
+            dtype=jnp.float32, mesh=mesh,
+        )
+
+    out_single = str(tmp_path / "mm_single.tsv")
+    out_spmd = str(tmp_path / "mm_spmd.tsv")
+    minmax_engine(None).run_caption_tsv(img_tsv, out_single)
+    minmax_engine(make_mesh(data=8, model=1)).run_caption_tsv(img_tsv, out_spmd)
+    with open(out_single, "rb") as a, open(out_spmd, "rb") as b:
+        sa, sb = a.read(), b.read()
+    assert sa, "empty single-device MinMax TSV"
+    assert sa == sb
+
+
+def test_spmd_generate_varshape_tokens_equal(shared):
+    """generate_varshape directly: non-square ragged images grouped into
+    exact-grid buckets, every bucket sub-full on the data=8 mesh."""
+    model, params, tok = shared
+    rng = np.random.RandomState(11)
+    shapes = [(48, 32), (32, 48), (32, 32), (49, 33), (48, 32)]
+    imgs = [rng.randint(0, 255, (h, w, 3), np.uint8).astype(np.float32)
+            for h, w in shapes]
+    prefixes = [[tok.cls_token_id]] * len(imgs)
+    single = make_engine(shared)
+    spmd = make_engine(shared, mesh=make_mesh(data=8, model=1))
+    out_single = single.generate_varshape(imgs, prefixes)
+    out_spmd = spmd.generate_varshape(imgs, prefixes)
+    assert out_single == out_spmd
+
+
+def test_spmd_trie_decode_tokens_equal(shared):
+    """Trie-constrained classification over the mesh (VERDICT r4 next
+    #1b): mode='trie' with TP-sharded params on a data=4 x model=2 mesh
+    must pick the same class sequences as the single device.  Match:
+    reference trie_decoder.py:42-218."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gitax.decode import build_vocab_trie
+    from gitax.parallel import shard_params
+
+    model, params, tok = shared
+    trie = build_vocab_trie(
+        tok, ["red", "blue", "big dog", "a b c", "why so"]
+    )
+    rng = np.random.RandomState(13)
+    imgs = rng.rand(4, 32, 32, 3).astype(np.float32)
+    pref = np.full((4, 1), tok.cls_token_id, np.int32)
+
+    single, _ = model.generate(
+        params, jnp.asarray(imgs), jnp.asarray(pref), mode="trie", trie=trie
+    )
+
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_params(params, mesh)
+
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        )
+
+    with jax.sharding.set_mesh(mesh):
+        spmd, _ = model.generate(
+            sharded, put(jnp.asarray(imgs)), put(jnp.asarray(pref)),
+            mode="trie", trie=trie,
+        )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(spmd))
+
+
+def test_spmd_single_image_cli_trie_and_beam(shared, tmp_path, monkeypatch):
+    """The single-image CLI function with mesh_shape: both the beam and
+    the trie (vocab_file) paths must produce the same string as the
+    meshless call — the product surface for VERDICT r4 next #1b."""
+    from gitax import inference as inf
+
+    model, params, tok = shared
+    img = Image.fromarray(
+        np.random.RandomState(17).randint(0, 255, (40, 40, 3), np.uint8)
+    )
+    img_path = str(tmp_path / "img.jpg")
+    img.save(img_path)
+    vocab_file = str(tmp_path / "classes.txt")
+    with open(vocab_file, "w") as fp:
+        fp.write("red\nblue\nbig dog\na b c\n")
+
+    monkeypatch.setattr(inf, "_load_param", lambda name: {"test_crop_size": 32})
+    monkeypatch.setattr(inf, "_load_tokenizer", lambda: tok)
+    monkeypatch.setattr(inf, "_build_model", lambda name, p: (model, params))
+    # cap the CLI's 1024-step beam buffer: random-init weights never emit
+    # EOS, so the full budget would spin the while_loop 1024x on CPU
+    import gitax.decode as dec
+
+    monkeypatch.setattr(
+        dec, "BeamSearchConfig",
+        lambda **kw: BeamSearchConfig(num_beams=2, max_steps=8),
+    )
+
+    for kwargs in ({}, {"vocab_file": vocab_file}):
+        base = inf.test_git_inference_single_image(img_path, "TINY", **kwargs)
+        meshed = inf.test_git_inference_single_image(
+            img_path, "TINY", mesh_shape=[4, 2], **kwargs
+        )
+        assert base == meshed, kwargs
+
+
 def test_spmd_stats_record_mesh_padding(shared):
     """On a data=8 mesh a 1-request dispatch pads to 8 device rows inside
     the engine; /stats must report the ACTUAL device batch (8, 7 padded

@@ -218,6 +218,17 @@ def dispatch_main(module_globals, argv=None):
     from .runtime.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    # multi-host launches opt in by exporting COORDINATOR_ADDRESS (plus
+    # RANK/WORLD_SIZE or their OMPI_* equivalents): every CLI then joins
+    # one jax.distributed runtime, get_mpi_rank/size resolve from it,
+    # and the TSV shard sync becomes a collective barrier
+    # (runtime.pipeline.finish_shards).  Bare RANK/WORLD_SIZE without a
+    # coordinator keeps the reference's env-var row-sharding semantics
+    # (inference.py:157-169) — independent processes, filesystem barrier.
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        from .runtime.distributed import initialize
+
+        initialize()
     kwargs = parse_general_args(argv)
     logging.info("param:\n%s", json.dumps(kwargs, indent=2, default=str))
     function_name = kwargs.pop("type")

@@ -26,13 +26,17 @@ import dataclasses
 
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 from ..models.textual import KVCache
 
-NEG_INF = jnp.float32(-1e9)
-EMPTY_HYP_LOGPROB = jnp.float32(-1e5)  # reference decoder.py:1265-1266
+# numpy (not jnp) scalars: module import must not initialise the XLA
+# backend — jax.distributed.initialize() has to run first on multi-host
+NEG_INF = np.float32(-1e9)
+EMPTY_HYP_LOGPROB = np.float32(-1e5)  # reference decoder.py:1265-1266
 
 
 @dataclasses.dataclass(frozen=True)

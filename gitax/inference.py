@@ -136,11 +136,9 @@ def test_git_inference_single_image(image_path, model_name, prefix="",
     model, params = _build_model(model_name, param)
     mesh = None
     if mesh_shape is not None:
-        from .parallel import make_mesh, shard_params
+        from .parallel import make_mesh_from_shape, shard_params
 
-        if isinstance(mesh_shape, int):
-            mesh_shape = (mesh_shape, 1)
-        mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+        mesh = make_mesh_from_shape(mesh_shape)
         params = shard_params(params, mesh)
     # high-res models (MinMaxResizeForTest) produce dimensions that are
     # not patch multiples; the reference's strided patchify conv simply
@@ -227,11 +225,9 @@ def test_git_inference_single_tsv(image_tsv, model_name, question_tsv, out_tsv,
         param = _load_param(model_name)
     mesh = None
     if mesh_shape is not None:
-        from .parallel import make_mesh
+        from .parallel import make_mesh_from_shape
 
-        if isinstance(mesh_shape, int):
-            mesh_shape = (mesh_shape, 1)
-        mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+        mesh = make_mesh_from_shape(mesh_shape)
     jdtype = jnp.dtype(dtype)
     tokenizer = _load_tokenizer()
     model, params = _build_model(model_name, param, dtype=jdtype)

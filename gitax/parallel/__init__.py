@@ -1,5 +1,6 @@
 from .mesh import (
     make_mesh,
+    make_mesh_from_shape,
     param_partition_specs,
     batch_partition_specs,
     shard_params,

@@ -33,6 +33,21 @@ def make_mesh(data: int = None, model: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_mesh_from_shape(mesh_shape) -> Mesh:
+    """CLI-surface mesh constructor: int N -> (N, 1); [data, model] as
+    given.  Under a live multi-host `jax.distributed` runtime the shape
+    describes the PER-HOST mesh over this process's LOCAL chips — hosts
+    stay row-sharded over TSV rows (runtime.pipeline), so each host
+    drives an independent SPMD program on its own slice of the pod.
+    Single-process this is identical to make_mesh over jax.devices()."""
+    if isinstance(mesh_shape, int):
+        mesh_shape = (mesh_shape, 1)
+    from ..runtime import distributed
+
+    devices = jax.local_devices() if distributed.is_active() else None
+    return make_mesh(data=mesh_shape[0], model=mesh_shape[1], devices=devices)
+
+
 def param_partition_specs(params):
     """PartitionSpec pytree matching a GitModel params tree.
 

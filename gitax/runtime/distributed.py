@@ -43,6 +43,17 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
             "world size {} given but no rank (set RANK or "
             "OMPI_COMM_WORLD_RANK)".format(num_processes)
         )
+    # multi-process CPU needs a cross-process collectives client (jax
+    # ships gloo); without it each process keeps a LOCAL-only cpu client
+    # and process_count() silently stays 1.  TPU backends ignore the
+    # knob (collectives ride ICI/DCN via the TPU runtime).
+    plat = (
+        getattr(jax.config, "jax_platforms", None)
+        or os.environ.get("JAX_PLATFORMS")
+        or ""
+    )
+    if plat.split(",")[0].strip() == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -69,6 +80,22 @@ def local_batch_slice(global_batch: int):
     from .pipeline import shard_range
 
     return shard_range(global_batch, jax.process_index(), jax.process_count())
+
+
+def is_active():
+    """True iff jax.distributed is initialized with >1 process — i.e.
+    the cross-process barrier below is a REAL collective, not a no-op."""
+    import jax
+
+    try:
+        if not jax.distributed.is_initialized():
+            return False
+    except AttributeError:  # older jax: probe the client directly
+        from jax._src.distributed import global_state
+
+        if global_state.client is None:
+            return False
+    return jax.process_count() > 1
 
 
 def barrier(name="gitax_barrier"):

@@ -83,6 +83,31 @@ def wait_and_concat_shards(out_tsv: str, world_size: int,
     concat_tsv_files(shards, out_tsv)
 
 
+def finish_shards(out_tsv: str, rank: int, world_size: int):
+    """Post-shard-write sync + rank-0 concat.
+
+    When `jax.distributed` is live the sync is the TPU-native collective
+    barrier (distributed.barrier — every rank's shard file is closed
+    before it enters, so rank 0 can concat immediately, no polling).
+    Otherwise it falls back to the reference's poll-the-filesystem
+    barrier (inference.py:214-225) so plain mpirun/env-var launches keep
+    working unchanged."""
+    if world_size <= 1:
+        return
+    from . import distributed
+
+    if distributed.is_active():
+        distributed.barrier("gitax_tsv_shards:" + op.basename(out_tsv))
+        if rank == 0:
+            shards = [
+                "{}.{}.{}.tsv".format(out_tsv, r, world_size)
+                for r in range(world_size)
+            ]
+            concat_tsv_files(shards, out_tsv)
+    elif rank == 0:
+        wait_and_concat_shards(out_tsv, world_size)
+
+
 class CaptionEngine(object):
     """Batched caption/VQA engine around a GitModel."""
 
@@ -450,8 +475,7 @@ class CaptionEngine(object):
                 meter.update(len(pkeys))
 
         tsv_writer(rows(), cur_out)
-        if world_size > 1 and rank == 0:
-            wait_and_concat_shards(out_tsv, world_size)
+        finish_shards(out_tsv, rank, world_size)
 
     # -- TSV VQA pipeline ---------------------------------------------------
     def run_vqa_tsv(self, image_tsv_path, question_tsv_path, out_tsv,
@@ -530,5 +554,4 @@ class CaptionEngine(object):
                 yield (json_dump({"answer": ans, "question_id": qid}),)
 
         tsv_writer(rows(), cur_out)
-        if world_size > 1 and rank == 0:
-            wait_and_concat_shards(out_tsv, world_size)
+        finish_shards(out_tsv, rank, world_size)

@@ -52,11 +52,11 @@ def build_serving_stack(model_name, batch_size=32, max_wait_ms=4.0,
 
     mesh = None
     if mesh_shape is not None:
-        from .parallel import make_mesh
+        from .parallel import make_mesh_from_shape
 
-        if isinstance(mesh_shape, int):
-            mesh_shape = (mesh_shape, 1)
-        mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+        # under multi-host jax.distributed this is the PER-HOST mesh
+        # over local chips (parallel.mesh.make_mesh_from_shape)
+        mesh = make_mesh_from_shape(mesh_shape)
 
     param = _load_param(model_name)
     jdtype = jnp.dtype(dtype)

@@ -101,7 +101,7 @@ def ws(tmp_path_factory):
     return {"ws": root, "hf_home": hf_home}
 
 
-def _launch(ws, rank, world, out_tsv, extra_env=None):
+def _launch(ws, rank, world, out_tsv, extra_env=None, extra_payload=None):
     from e2e_common import strip_remote_tpu_env
 
     env = strip_remote_tpu_env(dict(os.environ))
@@ -113,6 +113,7 @@ def _launch(ws, rank, world, out_tsv, extra_env=None):
     env["GITAX_SHARD_POLL_S"] = "0.2"
     env.pop("OMPI_COMM_WORLD_RANK", None)
     env.pop("OMPI_COMM_WORLD_SIZE", None)
+    env.pop("COORDINATOR_ADDRESS", None)
     if extra_env:
         env.update(extra_env)
     payload = {
@@ -125,6 +126,8 @@ def _launch(ws, rank, world, out_tsv, extra_env=None):
         "use_native": False,
         "batch_size": 2,
     }
+    if extra_payload:
+        payload.update(extra_payload)
     return subprocess.Popen(
         [sys.executable, "-m", "gitax.inference", "-p", json.dumps(payload)],
         cwd=ws["ws"], env=env,
@@ -160,6 +163,49 @@ def test_concurrent_three_rank_concat_matches_single_rank(ws):
     for r in range(WORLD):
         shard = op.join(ws["ws"], "multi.tsv.{}.{}.tsv".format(r, WORLD))
         assert op.isfile(shard)
+
+
+def test_coordinator_cli_two_process_multihost(ws):
+    """The PRODUCT surface of multi-host (VERDICT r4 next #2): two
+    `python -m gitax.inference` processes with COORDINATOR_ADDRESS
+    exported join ONE jax.distributed runtime (common.py::dispatch_main),
+    each drives a per-host 2-device DP mesh over its LOCAL devices
+    (mesh_shape=2, parallel.mesh.make_mesh_from_shape), rank/world
+    resolve from jax.process_index/count, and the shard sync is the
+    collective barrier (runtime.pipeline.finish_shards) instead of the
+    reference's filesystem poll.  Merged TSV must equal a single-process
+    run byte-for-byte."""
+    import socket
+
+    p = _launch(ws, 0, 1, "mh_single.tsv")
+    (rc, out, err), = _wait_all([p])
+    assert rc == 0, err[-4000:]
+    single = open(op.join(ws["ws"], "mh_single.tsv"), "rb").read()
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    coord = "localhost:{}".format(s.getsockname()[1])
+    s.close()
+    mh_env = {
+        "COORDINATOR_ADDRESS": coord,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        # poll path must NOT be what syncs the shards: if the collective
+        # barrier branch were skipped, rank 0's first missing-shard poll
+        # would sleep far past the subprocess timeout
+        "GITAX_SHARD_POLL_S": "3600",
+    }
+    procs = [
+        _launch(ws, r, 2, "mh_multi.tsv", extra_env=mh_env,
+                extra_payload={"mesh_shape": 2})
+        for r in range(2)
+    ]
+    results = _wait_all(procs)
+    for r, (rc, out, err) in enumerate(results):
+        assert rc == 0, "rank {} failed:\n{}".format(r, err[-4000:])
+        # dispatch_main really brought jax.distributed up in-process
+        assert "jax.distributed up: process {}/2".format(r) in (out + err)
+    merged = open(op.join(ws["ws"], "mh_multi.tsv"), "rb").read()
+    assert merged == single
 
 
 def test_rank0_barrier_times_out_when_rank_missing(ws):

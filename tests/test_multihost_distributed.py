@@ -1,0 +1,141 @@
+"""REAL multi-host execution: 2 jax.distributed processes (VERDICT r4
+next #2).
+
+Two subprocesses join one jax.distributed runtime over a localhost
+coordinator, each holding 2 CPU devices (a 2-host x 2-chip virtual pod).
+The test asserts the things prose claimed until now:
+
+  * gitax's distributed.initialize() actually brings the runtime up —
+    jax.process_count() == 2 and 4 GLOBAL devices visible per process
+    (witness files written from inside the run),
+  * a psum over a global mesh spanning both hosts sees both hosts'
+    contributions (real cross-process collective, gloo on CPU / ICI on
+    TPU),
+  * the TSV pipeline's per-host row shard + per-host local mesh +
+    collective barrier + rank-0 concat contract produces a TSV
+    byte-identical to the single-process run.
+
+Match: reference inference.py:157-169 (row sharding), 214-225 (the
+filesystem barrier this replaces).
+"""
+
+import json
+import os
+import os.path as op
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO_ROOT = op.dirname(op.dirname(op.abspath(__file__)))
+WORKER = op.join(op.dirname(op.abspath(__file__)), "multihost_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(extra):
+    env = dict(os.environ)
+    # the container's sitecustomize registers the remote-TPU plugin in
+    # every child (see e2e_common.strip_remote_tpu_env); a cpu-only
+    # multi-process run must not dial the relay
+    for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+              "AXON_LOOPBACK_RELAY", "AXON_POOL_SVC_OVERRIDE",
+              "COORDINATOR_ADDRESS", "RANK", "WORLD_SIZE"):
+        env.pop(k, None)
+    env["PYTHONPATH"] = REPO_ROOT
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.update(extra)
+    return env
+
+
+def _write_imgs(out_dir, n=6):
+    import base64
+    import io
+
+    from PIL import Image
+
+    from gitax.io.tsv import tsv_writer
+
+    def jpeg_b64(seed):
+        rng = np.random.RandomState(seed)
+        img = Image.fromarray(
+            rng.randint(0, 255, (40, 50, 3), dtype=np.uint8)
+        )
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        return base64.b64encode(buf.getvalue())
+
+    tsv_writer(
+        [["k{}".format(i), jpeg_b64(i)] for i in range(n)],
+        op.join(out_dir, "imgs.tsv"),
+    )
+
+
+def _run_worker(out_dir, extra_env, timeout=600):
+    return subprocess.Popen(
+        [sys.executable, WORKER, out_dir],
+        env=_env(extra_env), cwd=out_dir,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+def test_two_process_jax_distributed_tsv_pipeline(tmp_path):
+    single_dir = str(tmp_path / "single")
+    multi_dir = str(tmp_path / "multi")
+    os.makedirs(single_dir)
+    os.makedirs(multi_dir)
+    _write_imgs(single_dir)
+    _write_imgs(multi_dir)
+
+    # golden: single process, no coordinator -> initialize() is a no-op
+    p = _run_worker(single_dir, {})
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out
+    w = json.load(open(op.join(single_dir, "witness.0.json")))
+    assert w["initialized"] is False and w["process_count"] == 1
+
+    # the 2-process run: one coordinator, ranks 0 and 1
+    coord = "localhost:{}".format(_free_port())
+    procs = [
+        _run_worker(
+            multi_dir,
+            {"COORDINATOR_ADDRESS": coord, "WORLD_SIZE": "2",
+             "RANK": str(r)},
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+
+    for r in range(2):
+        w = json.load(open(op.join(multi_dir, "witness.{}.json".format(r))))
+        assert w["initialized"] is True, w
+        assert w["is_active"] is True, w
+        assert w["process_count"] == 2, w
+        assert w["process_index"] == r == w["rank"], w
+        assert w["world"] == 2, w
+        assert w["local_devices"] == 2 and w["global_devices"] == 4, w
+        # hosts contribute 2*1.0 and 2*2.0 over the global mesh
+        assert w["global_psum"] == pytest.approx(6.0), w
+
+    with open(op.join(single_dir, "out.tsv"), "rb") as f:
+        golden = f.read()
+    with open(op.join(multi_dir, "out.tsv"), "rb") as f:
+        merged = f.read()
+    assert golden, "empty single-process TSV"
+    assert golden == merged
+    # the per-rank shard files follow the reference's on-disk contract
+    for r in range(2):
+        assert op.isfile(op.join(multi_dir, "out.tsv.{}.2.tsv".format(r)))

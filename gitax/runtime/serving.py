@@ -65,12 +65,19 @@ class ServingStats(object):
         self.errors = 0
         self.rejected = 0
         self.batch_size_hist = collections.Counter()
+        # per-group-key batch counts (key = (prefix_len, h, w, dtype
+        # kind)) — mixed caption+VQA traffic forms one group per prefix
+        # length, and a load test needs to see batches PER class to
+        # check no group starves under the busy-hold policy
+        self.batches_by_group = collections.Counter()
 
-    def record_batch(self, n_real, bucket):
+    def record_batch(self, n_real, bucket, group_key=None):
         with self.lock:
             self.batches += 1
             self.batch_size_hist[bucket] += 1
             self.padded_slots += bucket - n_real
+            if group_key is not None:
+                self.batches_by_group[group_key] += 1
 
     def record_requests(self, n):
         with self.lock:
@@ -93,6 +100,9 @@ class ServingStats(object):
                 "errors": self.errors,
                 "rejected": self.rejected,
                 "batch_size_hist": dict(self.batch_size_hist),
+                "batches_by_group": {
+                    str(k): v for k, v in self.batches_by_group.items()
+                },
             }
 
 
@@ -399,7 +409,10 @@ class DynamicBatcher(object):
             # data-axis multiple happens inside the engine); record the
             # ACTUAL device batch so /stats padding numbers are honest.
             # .shape is metadata — reading it does not sync the device.
-            self.stats.record_batch(n, int(seqs.shape[0]))
+            r0 = items[0]
+            kind = "u8" if r0.image.dtype == np.uint8 else "f"
+            key = (len(r0.prefix),) + tuple(r0.image.shape[:2]) + (kind,)
+            self.stats.record_batch(n, int(seqs.shape[0]), group_key=key)
         except BaseException as e:  # noqa: BLE001 — futures must not hang
             logging.exception("serving dispatch failed")
             self.stats.record_error()

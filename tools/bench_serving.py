@@ -13,6 +13,17 @@ batcher + device path — jpeg decode costs are the e2e bench's job
 (this 1-vCPU container would swamp them over the measurement).
 
 Usage: python tools/bench_serving.py [concurrency ...]   (default 1 4 16 32 64)
+       python tools/bench_serving.py --mixed [concurrency ...]
+
+--mixed runs the VERDICT-r4 #3 workload: 50% caption traffic (prefix
+len 1) + 50% VQA split over three question lengths (prefix lens 5/7/9).
+Each prefix length is its own batcher group (own compiled-program
+family), so this measures exactly the regime where group
+fragmentation, per-prefix compiles, and the busy-hold max_hold promise
+interact.  Reports req/s + p50/p99/max latency PER CLASS, plus
+batches-formed-per-group — the starvation check: every class must keep
+completing and no class's p99 may blow past max_hold + a few batch
+service times.
 
 Measured numbers live in DESIGN.md §6 (serving row).
 """
@@ -76,11 +87,71 @@ def run_level(batcher, images, concurrency, seconds):
 
 MAX_BATCH = int(os.environ.get("GITAX_SERVE_BENCH_MAX_BATCH", "32"))
 
+# mixed-load traffic classes: (name, prefix token ids).  Clients are
+# assigned round-robin over this list, so 3-in-6 = 50% caption and the
+# VQA half splits evenly over three question lengths.  Token ids are
+# arbitrary in-vocab words — the device program depends only on
+# prefix LENGTH (one compiled family per length).
+MIXED_CLASSES = [
+    ("caption", [101]),
+    ("caption", [101]),
+    ("caption", [101]),
+    ("vqa_len5", [101, 2054, 2003, 1996, 3609]),
+    ("vqa_len7", [101, 2054, 2003, 1996, 3609, 1997, 2023]),
+    ("vqa_len9", [101, 2054, 2003, 1996, 3609, 1997, 2023, 4874, 2182]),
+]
+
+
+def run_level_mixed(batcher, images, concurrency, seconds):
+    """Closed-loop clients with per-class prefixes; per-class latency."""
+    stop = time.time() + seconds
+    lats = {name: [] for name, _ in MIXED_CLASSES}
+    locks = {name: threading.Lock() for name, _ in MIXED_CLASSES}
+
+    def client(i):
+        name, prefix = MIXED_CLASSES[i % len(MIXED_CLASSES)]
+        rng = np.random.RandomState(i)
+        mine = []
+        while time.time() < stop:
+            img = images[rng.randint(len(images))]
+            t0 = time.time()
+            batcher.submit_array(img, prefix).result(timeout=120)
+            mine.append(time.time() - t0)
+        with locks[name]:
+            lats[name].extend(mine)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(concurrency)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.time() - t0
+    out = {"concurrency": concurrency, "seconds": round(dt, 2)}
+    total = 0
+    per_class = {}
+    for name in sorted(lats):
+        arr = np.array(sorted(lats[name]))
+        total += len(arr)
+        per_class[name] = {
+            "req_per_s": round(len(arr) / dt, 1),
+            "p50_ms": round(1000 * float(np.percentile(arr, 50)), 1) if len(arr) else None,
+            "p99_ms": round(1000 * float(np.percentile(arr, 99)), 1) if len(arr) else None,
+            "max_ms": round(1000 * float(arr[-1]), 1) if len(arr) else None,
+            "n": len(arr),
+        }
+    out["req_per_s"] = round(total / dt, 1)
+    out["per_class"] = per_class
+    return out
+
 
 def main():
+    argv = sys.argv[1:]
+    mixed = "--mixed" in argv
+    argv = [a for a in argv if a != "--mixed"]
     # C > MAX_BATCH levels exercise the dispatch/resolve overlap: two
     # batches in flight, upload of batch N+1 hidden under batch N
-    levels = [int(a) for a in sys.argv[1:]] or [1, 4, 16, 32, 64]
+    levels = [int(a) for a in argv] or ([6, 12, 24, 48] if mixed else [1, 4, 16, 32, 64])
     model, params = build_model()
     tok = BertTokenizer(build_tiny_vocab())
     engine = CaptionEngine(
@@ -95,21 +166,35 @@ def main():
     # smaller than float (it rides this environment's relay tunnel)
     images = [rng.randint(0, 255, (224, 224, 3), np.uint8) for _ in range(8)]
 
-    # compile every bucket shape once, outside all timing (jit caches by
-    # batch shape; the batcher alone can't deterministically form each)
+    # compile every (prefix_len, bucket) program once, outside all
+    # timing (jit caches by batch shape; the batcher alone can't
+    # deterministically form each).  Mixed mode warms all four prefix
+    # lengths — the per-prefix compile cost is exactly what must NOT
+    # land inside the measurement window.
     probe = DynamicBatcher(engine, max_batch=MAX_BATCH, max_wait_ms=1.0)
     buckets = probe.buckets
     probe.close()
-    fn = engine._caption_fn(1, (224, 224))
-    for b in buckets:
-        batch = jnp.asarray(np.stack(images[:1] * b))
-        seqs, _ = fn(engine.params, batch, jnp.full((b, 1), 101, jnp.int32))
-        np.asarray(seqs)
+    prefix_lens = sorted({len(p) for _, p in MIXED_CLASSES}) if mixed else [1]
+    for tp in prefix_lens:
+        fn = engine._caption_fn(tp, (224, 224))
+        for b in buckets:
+            batch = jnp.asarray(np.stack(images[:1] * b))
+            seqs, _ = fn(engine.params, batch, jnp.full((b, tp), 101, jnp.int32))
+            np.asarray(seqs)
+        print(json.dumps({"warmed_prefix_len": tp, "buckets": buckets}),
+              flush=True)
 
     for c in levels:
         batcher = DynamicBatcher(engine, max_batch=MAX_BATCH, max_wait_ms=4.0)
-        r = run_level(batcher, images, c, SECONDS)
-        r["batch_size_hist"] = batcher.stats.snapshot()["batch_size_hist"]
+        if mixed:
+            r = run_level_mixed(batcher, images, c, SECONDS)
+        else:
+            r = run_level(batcher, images, c, SECONDS)
+        snap = batcher.stats.snapshot()
+        r["batch_size_hist"] = snap["batch_size_hist"]
+        if mixed:
+            r["batches_by_group"] = snap["batches_by_group"]
+            r["padded_slots"] = snap["padded_slots"]
         batcher.close()
         print(json.dumps(r), flush=True)
 

@@ -139,7 +139,7 @@ def _top_k_iterative(x, k, small_axis=4096):
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
-def _top_k_blocked(x, k, block=512):
+def _top_k_blocked(x, k, block=512, bmax=None):
     """Exact top-k via block-max prefilter: one max-reduce pass picks the
     k best blocks (the true top-k occupy at most k blocks, and each such
     block's max is >= the k-th value, so the k max-ranked blocks always
@@ -149,16 +149,23 @@ def _top_k_blocked(x, k, block=512):
 
     Cuts the top-k's HBM traffic over a [BK, V~30k] logit tensor from
     2k full passes to ~1, worth ~0.1 ms/step in the GIT_LARGE beam loop.
+
+    bmax: optional precomputed [B, ceil(n/block)] block maxima (the
+    fused vocab-projection kernel, ops/vocab_topk.py, emits them as a
+    matmul epilogue so the full pass here never re-reads HBM).  Must be
+    the maxima of THIS x under the same -inf padding rule.
     """
     b, n = x.shape
     nb = (n + block - 1) // block
-    if nb < max(k, 4):
+    if bmax is None and nb < max(k, 4):
         return _top_k_iterative(x, k)
     pad = nb * block - n
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
     xb = x.reshape(b, nb, block)
-    bmax = xb.max(axis=-1)  # [B, NB] — the single full pass
+    if bmax is None:
+        bmax = xb.max(axis=-1)  # [B, NB] — the single full pass
+    assert bmax.shape == (b, nb), (bmax.shape, b, nb)
     _, bidx = _top_k_iterative(bmax, k)  # [B, K] best blocks, ascending-max tie rule
     # gather candidate blocks IN INDEX ORDER so flat tie-order survives
     bidx = jnp.sort(bidx, axis=-1)
@@ -187,12 +194,22 @@ def beam_search(
     prefix_tokens,  # [B, Tp]
     cfg: BeamSearchConfig,
     rng=None,  # PRNG key, required when cfg.do_sample
+    vocab_stats=False,
 ):
     """Run the search. Returns (decoded [B, N, max_steps] int32,
     logprobs [B, N] f32).  Sequences include the prefix (the caller
     strips it, reference decoder.py:1004-1006) and are EOS-padded.
 
     decode_step_fn(tokens [BK], cache) -> (logits [BK, V], cache).
+
+    vocab_stats=True: decode_step_fn instead returns
+    (logits [BK, NB*512] -inf-padded, cache, (bmax [BK, NB],
+    bsum [BK, NB])) — the fused vocab-projection kernel's epilogue
+    outputs (ops/vocab_topk.py) — and the loop consumes the block
+    maxima / block sum-exp directly instead of re-reading the full
+    logits for the prefilter max pass and the logsumexp.  Greedy beam
+    only (the sampling / repetition-penalty consumers want unpadded
+    full logits); callers gate (models/git.py::generate).
     """
     b, tp = prefix_tokens.shape
     k = cfg.num_beams
@@ -228,6 +245,15 @@ def beam_search(
     # logits stay in the model's compute dtype; score math upcasts to f32
     # only where it matters (logsumexp, candidate scores)
     logits0 = jnp.repeat(prefill_logits, k, axis=0)
+    if vocab_stats:
+        assert not cfg.do_sample and cfg.repetition_penalty == 1.0, (
+            "vocab_stats supports the plain greedy-beam path only"
+        )
+        # the prefill step's logits come from the XLA head; pad + derive
+        # the same block stats the kernel will emit every loop step
+        from ..ops.vocab_topk import block_stats_xla
+
+        logits0, bmax0, bsum0 = block_stats_xla(logits0)
     if cfg.repetition_penalty != 1.0:
         seen0 = jax.nn.one_hot(prefix_tokens, v, dtype=bool).any(axis=1)
         seen0 = jnp.repeat(seen0, k, axis=0)  # [BK, V]
@@ -247,6 +273,8 @@ def beam_search(
         seen=seen0,
         rng=rng,
     )
+    if vocab_stats:
+        state["vstats"] = (bmax0, bsum0)
 
     done_norm = _length_norm(
         jnp.float32((cfg.norm_max_length or max_len) - 1), alpha
@@ -316,10 +344,21 @@ def beam_search(
             # logsumexp and merge.  Avoids materializing the full-vocab
             # log-softmax every step; tie order (lower flat index first)
             # is preserved.
-            pb_vals, pb_idx = _top_k_blocked(logits, c)  # [BK, C]
-            lse = jax.scipy.special.logsumexp(
-                logits.astype(jnp.float32), axis=-1
-            )  # [BK]
+            if vocab_stats:
+                # the projection kernel already took the max + sum-exp
+                # passes in its epilogue; no full-logits re-read here
+                from ..ops.vocab_topk import TILE, combine_lse
+
+                bmax, bsum = st["vstats"]
+                pb_vals, pb_idx = _top_k_blocked(
+                    logits, c, block=TILE, bmax=bmax
+                )
+                lse = combine_lse(bmax, bsum)  # [BK]
+            else:
+                pb_vals, pb_idx = _top_k_blocked(logits, c)  # [BK, C]
+                lse = jax.scipy.special.logsumexp(
+                    logits.astype(jnp.float32), axis=-1
+                )  # [BK]
             cand = (
                 pb_vals.astype(jnp.float32)
                 - lse[:, None]
@@ -417,7 +456,12 @@ def beam_search(
         # lax.cond was MEASURED SLOWER on v5e (511 -> 485 img/s): the
         # cond boundary forces the loop-carried cache buffers to
         # materialize, costing more than the dead step saves.
-        step_logits, cache_new = decode_step_fn(words.reshape(-1), cache_re)
+        if vocab_stats:
+            step_logits, cache_new, vstats_new = decode_step_fn(
+                words.reshape(-1), cache_re
+            )
+        else:
+            step_logits, cache_new = decode_step_fn(words.reshape(-1), cache_re)
 
         st_new = dict(
             cur_len=cur_len + 1,
@@ -432,6 +476,8 @@ def beam_search(
             seen=st["seen"],
             rng=rng_cur,
         )
+        if vocab_stats:
+            st_new["vstats"] = vstats_new
         if cfg.repetition_penalty != 1.0:
             seen_re = jnp.take(st["seen"], flat_parents, axis=0)
             st_new["seen"] = seen_re | jax.nn.one_hot(

@@ -208,9 +208,11 @@ class GitModel(object):
             flash=flash,
         )
 
-    def decode_step(self, params, tokens, cache, dtype=jnp.float32, kernel=False):
+    def decode_step(self, params, tokens, cache, dtype=jnp.float32, kernel=False,
+                    vocab_kernel=False):
         return decode_step(
-            params["textual"], tokens, cache, self.cfg, dtype=dtype, kernel=kernel
+            params["textual"], tokens, cache, self.cfg, dtype=dtype, kernel=kernel,
+            vocab_kernel=vocab_kernel,
         )
 
     # -- generation --------------------------------------------------------
@@ -232,6 +234,7 @@ class GitModel(object):
         context_lengths=None,
         fast_prefill=False,
         decode_kernel=False,
+        vocab_kernel=False,
     ):
         """Caption/answer generation (reference infer, decoder.py:977-1011).
         Optional text context is appended to the memory with a validity
@@ -253,6 +256,14 @@ class GitModel(object):
         the XLA path; 'int8' additionally stores the prefill-computed
         memory K/V int8 (the decode loop's dominant HBM stream),
         quantization-noise-level differences only.
+
+        vocab_kernel: False | True | 'interpret' — fuse the tied output
+        projection with the beam prefilter's block-max + sum-exp passes
+        (ops/vocab_topk.py).  Requires the int8-quantized head and the
+        plain greedy-beam config; silently falls back otherwise (same
+        contract as decode_kernel's gates).  lse comes from a two-level
+        reduction — token-equality vs the XLA path asserted on-chip,
+        f32-summation-order differences only.
         """
         from ..decode import BeamSearchConfig, beam_search, greedy_search
 
@@ -307,9 +318,26 @@ class GitModel(object):
                 params, visual, prefix_tokens, beam.max_steps, memory_valid, dtype,
                 fast=fast_prefill, kernel_memory=decode_kernel,
             )
-            step = partial_decode_step(self, params, dtype, kernel=decode_kernel)
+            if vocab_kernel:
+                from ..ops.vocab_topk import TILE
+
+                nblk = (self.cfg.vocab_size + TILE - 1) // TILE
+                if (
+                    beam.do_sample
+                    or beam.repetition_penalty != 1.0
+                    or "output_words_q8_t" not in params["textual"]
+                    # the prefilter needs at least max(C, 4) blocks to
+                    # cover the candidates (decode/beam._top_k_blocked)
+                    or nblk < max(beam.per_node_beam_size * beam.num_beams, 4)
+                ):
+                    vocab_kernel = False
+            step = partial_decode_step(
+                self, params, dtype, kernel=decode_kernel,
+                vocab_kernel=vocab_kernel,
+            )
             decoded, logprobs = beam_search(
-                step, logits, cache, prefix_tokens, beam, rng=rng
+                step, logits, cache, prefix_tokens, beam, rng=rng,
+                vocab_stats=bool(vocab_kernel),
             )
             decoded = decoded[:, :, tp:]
             if beam.num_keep_best == 1:
@@ -343,8 +371,12 @@ class GitModel(object):
         raise ValueError(mode)
 
 
-def partial_decode_step(model: GitModel, params, dtype, kernel=False):
+def partial_decode_step(model: GitModel, params, dtype, kernel=False,
+                        vocab_kernel=False):
     def step(tokens, cache):
-        return model.decode_step(params, tokens, cache, dtype, kernel=kernel)
+        return model.decode_step(
+            params, tokens, cache, dtype, kernel=kernel,
+            vocab_kernel=vocab_kernel,
+        )
 
     return step

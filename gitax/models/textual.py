@@ -451,8 +451,16 @@ def prefill(
 
 
 def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float32,
-                kernel=False):
+                kernel=False, vocab_kernel=False):
     """One incremental step: tokens [B*beams] at text position cache.length.
+
+    vocab_kernel: route the tied output projection through the fused
+    Pallas matmul (ops/vocab_topk.py) that emits the beam prefilter's
+    block maxima + block sum-exp as matmul-epilogue outputs; requires
+    the int8-quantized head (params['output_words_q8_t']).  Changes the
+    RETURN ARITY to (logits [BK, NB*512] -inf-padded, cache,
+    (bmax, bsum)) — only decode/beam.py's vocab_stats path consumes it.
+    'interpret' runs the kernel in Pallas interpret mode (CPU tests).
 
     kernel=True routes the per-layer attention (cache write + memory and
     ancestry-selected text scores + softmax + context) through the fused
@@ -534,10 +542,24 @@ def decode_step(params, tokens, cache: KVCache, cfg: GitConfig, dtype=jnp.float3
             bp = jax.tree_util.tree_map(lambda a: a[li], params["blocks"])
             x_cur, tkv = layer(x_cur, bp, *[s[li] for s in streams])
             new_txt_kv.append(tkv)
+        cache_new = cache._replace(txt_kv=tuple(new_txt_kv), length=pos + 1)
+        if vocab_kernel:
+            from ..ops.vocab_topk import vocab_logits_topk
+
+            assert "output_words_q8_t" in params, (
+                "vocab_kernel requires the int8-quantized output head "
+                "(ops/quant.quantize_textual_for_decode)"
+            )
+            logits, bmax, bsum = vocab_logits_topk(
+                x_cur[:, 0],
+                params["output_words_q8_t"],
+                params["output_words_scale"],
+                params["output_bias"],
+                interpret=(vocab_kernel == "interpret"),
+            )
+            return logits, cache_new, (bmax, bsum)
         logits = output_logits(params, x_cur[:, 0], acc_dtype=jnp.float32)
-        return logits, cache._replace(
-            txt_kv=tuple(new_txt_kv), length=pos + 1
-        )
+        return logits, cache_new
 
     if use_kernel:
         from ..ops.decode_attention import (

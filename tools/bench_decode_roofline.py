@@ -19,15 +19,21 @@ near roofline).  This tool gives the beam loop the same rigor
      bf16 text-cache re-read, logits write) against the v5e
      ~819 GB/s HBM peak,
   5. whole-generate MFU from XLA's own cost model
-     (compiled.cost_analysis()['flops']) — expected to be LOW: decode
-     FLOPs are trivial, the loop is launch+bandwidth bound, which is
-     exactly what the budget quantifies,
+     (compiled.cost_analysis()['flops']) — NOTE round 5: the cost model
+     counts scan/while bodies once, so this undercounts ~7x (analytic
+     correction in DESIGN section 4); the loop remains
+     launch+bandwidth bound either way,
   6. a batch sweep (B = 32/64/128, headline EOS-gated early-exit
      protocol) — per-step launch overhead is batch-invariant, so
      throughput amortizes it linearly until the DMA term dominates.
 
+  7. `vk`: A/B of the fused vocab-projection kernel (ops/vocab_topk.py)
+     — the "beam bookkeeping into the kernel epilogue" lever; measured
+     NEGATIVE round 5 (0.699->0.771 ms/step, body 350->373 instrs,
+     tokens equal), see DESIGN section 4's retirement note.
+
 Prints one JSON line per section.  Usage:
-    python tools/bench_decode_roofline.py [fit|ops|floor|dma|mfu|sweep|all]
+    python tools/bench_decode_roofline.py [fit|ops|floor|dma|mfu|sweep|vk|all]
 """
 
 import json
@@ -73,14 +79,14 @@ def _ungated_model():
     return model, quantize_git_params(params)
 
 
-def _caption_fn(model, max_steps, decode_kernel):
+def _caption_fn(model, max_steps, decode_kernel, vocab_kernel=False):
     beam = BeamSearchConfig(num_beams=4, max_steps=max_steps)
 
     @jax.jit
     def fn(params, images):
         return model.generate(
             params, images, beam=beam, dtype=jnp.bfloat16, fast_prefill=True,
-            decode_kernel=decode_kernel,
+            decode_kernel=decode_kernel, vocab_kernel=vocab_kernel,
         )
 
     return fn
@@ -122,7 +128,7 @@ def fit_per_step(batch=BATCH):
     }
 
 
-def count_body_ops(batch=BATCH):
+def count_body_ops(batch=BATCH, vocab_kernel=False):
     """Static op budget: instructions in the compiled while-loop body.
 
     Every instruction in the body computation of the optimized HLO is
@@ -135,7 +141,7 @@ def count_body_ops(batch=BATCH):
     def gen(params, images):
         return model.generate(
             params, images, beam=beam, dtype=jnp.bfloat16, fast_prefill=True,
-            decode_kernel=kern,
+            decode_kernel=kern, vocab_kernel=vocab_kernel,
         )
 
     rng = np.random.RandomState(0)
@@ -238,7 +244,15 @@ def dma_budget(batch=BATCH):
 
 def whole_generate_mfu(batch=BATCH):
     """XLA cost-model FLOPs of the full headline program / measured time
-    / bf16 peak.  Expected low: decode FLOPs are trivial."""
+    / bf16 peak.
+
+    CAVEAT (round 5): the HLO cost model counts a `lax.scan`/while BODY
+    once — verified against a bare matmul (exact) vs the scanned train
+    step (7x undercount) — so this number misses ~23/24 of the encoder
+    layers and all but one decode iteration.  Analytic 2-MACs counting
+    puts whole-generate at ~50% MFU (encoder-dominated) and the decode
+    loop at ~12%; see DESIGN section 4/5.  The section is kept for
+    round-over-round comparability of the raw cost-model number."""
     model, params = build_model()
     kern = use_pallas()
     fn = _caption_fn(model, 24, kern)
@@ -291,6 +305,77 @@ def batch_sweep():
     return {"section": "batch_sweep_eos_gated", "rows": rows}
 
 
+def vocab_kernel_ab(batch=BATCH):
+    """A/B of the fused vocab-projection kernel (ops/vocab_topk.py — the
+    "beam bookkeeping into the kernel epilogue" lever from DESIGN §4):
+
+      * per-step OLS fit with the kernel OFF vs ON (ungated, decode
+        lengths 8..32) + token equality asserted at every length,
+      * headline EOS-gated throughput, interleaved OFF/ON/OFF/ON passes
+        on the same params/images (cancels chip-state drift),
+      * while-body instruction count OFF vs ON.
+    """
+    model, params = _ungated_model()
+    kern = use_pallas()
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(batch, 224, 224, 3), jnp.bfloat16)
+    lens = [8, 16, 24, 32]
+    fits = {}
+    tokens_equal = True
+    for vk in (False, True):
+        ts = []
+        for s in lens:
+            fn = _caption_fn(model, s, kern, vocab_kernel=vk)
+            ts.append(_time(fn, params, images))
+            if vk:
+                fn_off = _caption_fn(model, s, kern, vocab_kernel=False)
+                a, _ = fn_off(params, images)
+                b, _ = fn(params, images)
+                tokens_equal &= bool(np.array_equal(np.asarray(a),
+                                                    np.asarray(b)))
+        x = np.asarray(lens, np.float64)
+        y = np.asarray(ts, np.float64) * 1e3
+        slope, intercept = np.polyfit(x, y, 1)
+        fits["on" if vk else "off"] = {
+            "total_ms": [round(v, 2) for v in y],
+            "ms_per_step": round(float(slope), 4),
+            "intercept_ms": round(float(intercept), 2),
+        }
+
+    # headline protocol, interleaved
+    from bench import build_model
+
+    hmodel, hparams = build_model()
+    fn_off = _caption_fn(hmodel, 24, kern, vocab_kernel=False)
+    fn_on = _caption_fn(hmodel, 24, kern, vocab_kernel=True)
+    head = {"off": [], "on": []}
+    head_tokens_equal = True
+    a, _ = fn_off(hparams, images)
+    b, _ = fn_on(hparams, images)  # warm both
+    head_tokens_equal = bool(np.array_equal(np.asarray(a), np.asarray(b)))
+    for _ in range(2):
+        for key, fn in (("off", fn_off), ("on", fn_on)):
+            t = _time(fn, hparams, images)
+            head["img_per_s_" + key] = head.get("img_per_s_" + key, [])
+            head["img_per_s_" + key].append(round(batch / t, 1))
+    head.pop("off"), head.pop("on")
+
+    ops_off = count_body_ops(batch, vocab_kernel=False)
+    ops_on = count_body_ops(batch, vocab_kernel=True)
+    return {
+        "section": "vocab_kernel_ab",
+        "batch": batch,
+        "per_step_fit": fits,
+        "ungated_tokens_equal": tokens_equal,
+        "headline_eos_gated": head,
+        "headline_tokens_equal": head_tokens_equal,
+        "body_instructions": {
+            "off": ops_off.get("body_instructions"),
+            "on": ops_on.get("body_instructions"),
+        },
+    }
+
+
 SECTIONS = {
     "fit": fit_per_step,
     "ops": count_body_ops,
@@ -298,6 +383,7 @@ SECTIONS = {
     "dma": dma_budget,
     "mfu": whole_generate_mfu,
     "sweep": batch_sweep,
+    "vk": vocab_kernel_ab,
 }
 
 

@@ -9,6 +9,11 @@ size (VERDICT r3 next #8):
     gitax.train.speed_test_forward_backward — bf16 compute,
     compute-dtype score math, adamw, synthetic COCO-caption batch.
     GIT_BASE B=64 runs first as the round-over-round sanity row.
+    Round 5: each row also reports TFLOP/step + MFU from the exact
+    analytic 2·MACs counter (`_analytic_step_flops` — XLA's
+    cost_analysis undercounts scanned layers, see its docstring), the
+    hardware utilization counting remat recompute as work, and the
+    recompute-tax percentage for remat rows.
   * `memory` (8-device CPU mesh, no TPU needed): per-device bytes of
     the Adam moments under (a) replicated moments and (b)
     gitax.parallel.zero1_shard_opt_state — read off the actual sharded
@@ -28,6 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ITERS = int(os.environ.get("GITAX_TRAIN_BENCH_ITERS", "30"))
+BF16_TFLOPS = 197.0  # v5e bf16 peak (same constant as bench_decode_roofline)
 
 
 def _batch(bsz, tokens=16, crop=160):
@@ -49,6 +55,36 @@ def _batch(bsz, tokens=16, crop=160):
         "caption_tokens": jnp.asarray(toks),
         "need_predict": jnp.asarray(need),
     }
+
+
+def _analytic_step_flops(cfg, bsz, crop, text_len=16, remat=False):
+    """Exact model FLOPs (2·MACs) of one fwd+bwd train step.
+
+    XLA's compiled cost_analysis UNDERCOUNTS here — both towers run
+    their layers inside `lax.scan`, and the HLO cost model counts a loop
+    body once (verified: GIT_BASE B=64 reports 0.80 TFLOP vs 5.5
+    analytic) — so MFU uses this counter, the same 2·MACs convention as
+    DESIGN §4's high-res roofline.  bwd = 2x fwd (standard dense-layer
+    accounting); per-block encoder remat re-runs the encoder forward
+    once more inside the backward.  Returns (executed_flops,
+    useful_flops) — they differ only by the remat recompute.
+    """
+    e = cfg.encoder
+    s = (crop // e.patch_size) ** 2 + 1
+    d, ff = e.width, 4 * e.width
+    enc = 2 * bsz * e.layers * s * (4 * d * d + 2 * s * d + 2 * d * ff)
+    enc += 2 * bsz * (s - 1) * d * (e.patch_size ** 2 * 3)  # patchify
+    s2 = s + text_len  # unified decoder runs memory+text jointly
+    d2, ff2 = cfg.hidden_size, cfg.feedforward_size
+    dec = 2 * bsz * cfg.num_layers * s2 * (
+        4 * d2 * d2 + 2 * s2 * d2 + 2 * d2 * ff2
+    )
+    dec += 2 * bsz * s * cfg.visual_feature_size * d2  # visual projection
+    head = 2 * bsz * text_len * d2 * cfg.vocab_size
+    fwd = enc + dec + head
+    useful = 3 * fwd
+    executed = useful + (enc if remat else 0)
+    return executed, useful
 
 
 def _speed_row(model_name, bsz, remat=False, crop=160):
@@ -83,7 +119,11 @@ def _speed_row(model_name, bsz, remat=False, crop=160):
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(state.params)
     )
-    return {
+    executed, useful = _analytic_step_flops(model.cfg, bsz, crop,
+                                            remat=remat)
+    step_s = dt / ITERS
+    peak = BF16_TFLOPS * 1e12
+    row = {
         "model": model_name,
         "batch": bsz,
         "crop": crop,
@@ -91,7 +131,17 @@ def _speed_row(model_name, bsz, remat=False, crop=160):
         "img_per_s": round(bsz * ITERS / dt, 1),
         "step_ms": round(dt / ITERS * 1e3, 1),
         "params_M": round(n_params / 1e6, 1),
+        "tflop_per_step": round(useful / 1e12, 2),
+        # useful model flops / time (the standard MFU definition) and
+        # the hardware view counting the remat recompute as work
+        "mfu_pct": round(useful / step_s / peak * 100, 1),
+        "hw_flop_util_pct": round(executed / step_s / peak * 100, 1),
     }
+    if remat:
+        row["recompute_tax_pct"] = round(
+            (executed - useful) / executed * 100, 1
+        )
+    return row
 
 
 def speed():
@@ -208,7 +258,9 @@ def main():
                    XLA_FLAGS="--xla_force_host_platform_device_count=8")
         subprocess.run([sys.executable, here, "memory"], env=env, check=True)
         return
-    print(json.dumps({"speed": speed, "memory": memory}[which]()), flush=True)
+    print(json.dumps(
+        {"speed": speed, "memory": memory}[which]()
+    ), flush=True)
 
 
 if __name__ == "__main__":

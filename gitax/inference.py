@@ -99,9 +99,18 @@ def _build_model(model_name, param, dtype=None):
             "mechanically valid but not meaningful)",
             ckpt_path,
         )
-        params = model.init_params(jax.random.PRNGKey(0))
+        # ONE compiled program, not hundreds of eager initializer ops —
+        # on the remote-TPU relay each eager op pays a full round trip
+        # (~14 ms), which made eager init the dominant CLI start cost
+        # (measured: 76 s eager vs <2 s jitted on the axon backend)
+        params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
     if dtype is not None:
-        params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+        cast = jax.jit(
+            lambda t: jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype), t
+            )
+        )
+        params = cast(params)
     return model, params
 
 
@@ -175,22 +184,31 @@ def test_git_inference_single_image(image_path, model_name, prefix="",
         else contextlib.nullcontext()
     )
 
+    # jit the WHOLE generate: eagerly the encoder alone is ~200 op
+    # dispatches x ~14 ms relay round trip on the remote-TPU backend;
+    # as one jitted program it is one dispatch, and the persistent
+    # compile cache (enable_compile_cache) makes the compile a one-time
+    # per-machine cost
     with ctx:
         if vocab_file:
             from .common import load_list_file
             from .decode import build_vocab_trie
 
             trie = build_vocab_trie(tokenizer, load_list_file(vocab_file))
-            seqs, _ = model.generate(
-                params,
-                images,
-                prefix_ids,
-                mode="trie",
-                trie=trie,
-            )
+
+            @jax.jit
+            def gen_trie(p, im, pref):
+                return model.generate(p, im, pref, mode="trie", trie=trie)
+
+            seqs, _ = gen_trie(params, images, prefix_ids)
         else:
             beam = BeamSearchConfig(num_beams=4, max_steps=1024)
-            seqs, _ = model.generate(params, images, prefix_ids, beam=beam)
+
+            @jax.jit
+            def gen_beam(p, im, pref):
+                return model.generate(p, im, pref, beam=beam)
+
+            seqs, _ = gen_beam(params, images, prefix_ids)
     cap = tokenizer.decode(np.asarray(seqs)[0].tolist(), skip_special_tokens=True)
     logging.info("output: %s", cap)
     return cap

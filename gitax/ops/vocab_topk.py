@@ -106,6 +106,8 @@ def vocab_logits_topk(hidden, wq8t, scale, bias, *, tile=TILE,
     r, w_dim = hidden.shape
     v = wq8t.shape[1]
     assert wq8t.shape[0] == w_dim, (wq8t.shape, hidden.shape)
+    # TPU lane rule: the logits out-block's last dim is `tile`
+    assert tile >= 128 and tile % 128 == 0, tile
     nb = (v + tile - 1) // tile
     nbp = (nb + 127) // 128 * 128  # stats lane-padded (see _kernel note)
     rp = (r + 7) // 8 * 8

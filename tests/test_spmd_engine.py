@@ -287,6 +287,44 @@ def test_spmd_generate_varshape_tokens_equal(shared):
     assert out_single == out_spmd
 
 
+def test_spmd_video_frames_tokens_equal(shared):
+    """Video (multi-frame [B, F, H, W, 3] memory concat, reference
+    decoder.py:846-853) + a question prefix (video-QA) over the mesh:
+    the fifth task family's mesh coverage.  TP-sharded params on a
+    data=4 x model=2 mesh must emit the single-device tokens exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gitax.parallel import shard_params
+
+    model, params, tok = shared
+    rng = np.random.RandomState(23)
+    frames = rng.rand(4, 2, 32, 32, 3).astype(np.float32)  # [B, F, H, W, 3]
+    # non-trivial prefix = the video-QA shape (question tokens after CLS)
+    pref = np.tile(
+        np.asarray([[tok.cls_token_id, 7, 9]], np.int32), (4, 1)
+    )
+    beam = BeamSearchConfig(num_beams=2, max_steps=8)
+
+    single, _ = model.generate(
+        params, jnp.asarray(frames), jnp.asarray(pref), beam=beam
+    )
+
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_params(params, mesh)
+
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        )
+
+    with jax.sharding.set_mesh(mesh):
+        spmd, _ = model.generate(
+            sharded, put(jnp.asarray(frames)), put(jnp.asarray(pref)),
+            beam=beam,
+        )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(spmd))
+
+
 def test_spmd_trie_decode_tokens_equal(shared):
     """Trie-constrained classification over the mesh (VERDICT r4 next
     #1b): mode='trie' with TP-sharded params on a data=4 x model=2 mesh

@@ -46,14 +46,24 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     # multi-process CPU needs a cross-process collectives client (jax
     # ships gloo); without it each process keeps a LOCAL-only cpu client
     # and process_count() silently stays 1.  TPU backends ignore the
-    # knob (collectives ride ICI/DCN via the TPU runtime).
-    plat = (
-        getattr(jax.config, "jax_platforms", None)
-        or os.environ.get("JAX_PLATFORMS")
-        or ""
-    )
-    if plat.split(",")[0].strip() == "cpu":
-        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # knob (collectives ride ICI/DCN via the TPU runtime).  Set it
+    # whenever the user hasn't chosen an implementation themselves —
+    # NOT only when JAX_PLATFORMS names cpu explicitly: a CPU-only host
+    # resolves to cpu with the env unset, and would otherwise stay
+    # local-only with every rank reporting process_index()==0.
+    if not os.environ.get("JAX_CPU_COLLECTIVES_IMPLEMENTATION"):
+        try:
+            cur = jax.config.jax_cpu_collectives_implementation
+        except AttributeError:  # knob absent on this jax version
+            cur = None
+            logging.info("jax_cpu_collectives_implementation unavailable")
+        if cur in (None, "", "none"):
+            try:
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", "gloo"
+                )
+            except Exception as e:  # noqa: BLE001 — TPU-only builds
+                logging.info("cpu collectives config skipped: %r", e)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -322,17 +322,19 @@ def vocab_kernel_ab(batch=BATCH):
     lens = [8, 16, 24, 32]
     fits = {}
     tokens_equal = True
+    off_outs = {}  # reference tokens per length, from the OFF pass
     for vk in (False, True):
         ts = []
         for s in lens:
             fn = _caption_fn(model, s, kern, vocab_kernel=vk)
             ts.append(_time(fn, params, images))
             if vk:
-                fn_off = _caption_fn(model, s, kern, vocab_kernel=False)
-                a, _ = fn_off(params, images)
                 b, _ = fn(params, images)
-                tokens_equal &= bool(np.array_equal(np.asarray(a),
+                tokens_equal &= bool(np.array_equal(off_outs[s],
                                                     np.asarray(b)))
+            else:
+                a, _ = fn(params, images)
+                off_outs[s] = np.asarray(a)
         x = np.asarray(lens, np.float64)
         y = np.asarray(ts, np.float64) * 1e3
         slope, intercept = np.polyfit(x, y, 1)
@@ -343,22 +345,22 @@ def vocab_kernel_ab(batch=BATCH):
         }
 
     # headline protocol, interleaved
-    from bench import build_model
-
     hmodel, hparams = build_model()
+    # the kernel silently gates off without the int8 head
+    # (GITAX_BENCH_INT8=0 would make this an off-vs-off non-A/B)
+    assert "output_words_q8_t" in hparams["textual"], (
+        "headline A/B needs the int8 head; unset GITAX_BENCH_INT8=0"
+    )
     fn_off = _caption_fn(hmodel, 24, kern, vocab_kernel=False)
     fn_on = _caption_fn(hmodel, 24, kern, vocab_kernel=True)
-    head = {"off": [], "on": []}
-    head_tokens_equal = True
+    head = {"img_per_s_off": [], "img_per_s_on": []}
     a, _ = fn_off(hparams, images)
     b, _ = fn_on(hparams, images)  # warm both
     head_tokens_equal = bool(np.array_equal(np.asarray(a), np.asarray(b)))
     for _ in range(2):
         for key, fn in (("off", fn_off), ("on", fn_on)):
             t = _time(fn, hparams, images)
-            head["img_per_s_" + key] = head.get("img_per_s_" + key, [])
             head["img_per_s_" + key].append(round(batch / t, 1))
-    head.pop("off"), head.pop("on")
 
     ops_off = count_body_ops(batch, vocab_kernel=False)
     ops_on = count_body_ops(batch, vocab_kernel=True)

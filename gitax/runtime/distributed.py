@@ -43,27 +43,7 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
             "world size {} given but no rank (set RANK or "
             "OMPI_COMM_WORLD_RANK)".format(num_processes)
         )
-    # multi-process CPU needs a cross-process collectives client (jax
-    # ships gloo); without it each process keeps a LOCAL-only cpu client
-    # and process_count() silently stays 1.  TPU backends ignore the
-    # knob (collectives ride ICI/DCN via the TPU runtime).  Set it
-    # whenever the user hasn't chosen an implementation themselves —
-    # NOT only when JAX_PLATFORMS names cpu explicitly: a CPU-only host
-    # resolves to cpu with the env unset, and would otherwise stay
-    # local-only with every rank reporting process_index()==0.
-    if not os.environ.get("JAX_CPU_COLLECTIVES_IMPLEMENTATION"):
-        try:
-            cur = jax.config.jax_cpu_collectives_implementation
-        except AttributeError:  # knob absent on this jax version
-            cur = None
-            logging.info("jax_cpu_collectives_implementation unavailable")
-        if cur in (None, "", "none"):
-            try:
-                jax.config.update(
-                    "jax_cpu_collectives_implementation", "gloo"
-                )
-            except Exception as e:  # noqa: BLE001 — TPU-only builds
-                logging.info("cpu collectives config skipped: %r", e)
+    _maybe_set_cpu_collectives(jax)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -75,6 +55,37 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
         jax.local_device_count(), jax.device_count(),
     )
     return True
+
+
+def _maybe_set_cpu_collectives(jax):
+    """Default the CPU collectives implementation to gloo, respecting a
+    user choice.
+
+    Multi-process CPU needs a cross-process collectives client (jax
+    ships gloo); without it each process keeps a LOCAL-only cpu client
+    and process_count() silently stays 1 — every rank then reports
+    rank 0 and processes ALL rows.  TPU backends ignore the knob
+    (collectives ride ICI/DCN via the TPU runtime), so setting it is
+    always safe.  Applies whenever the user hasn't chosen an
+    implementation (env var or jax.config) — NOT only when
+    JAX_PLATFORMS names cpu explicitly: a CPU-only host resolves to cpu
+    with the env unset.  Returns the implementation in effect (or None
+    when the knob doesn't exist on this jax version)."""
+    env = os.environ.get("JAX_CPU_COLLECTIVES_IMPLEMENTATION")
+    if env:
+        return env
+    try:
+        cur = jax.config.jax_cpu_collectives_implementation
+    except AttributeError:  # knob absent on this jax version
+        logging.info("jax_cpu_collectives_implementation unavailable")
+        return None
+    if cur in (None, "", "none"):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            return "gloo"
+        except Exception as e:  # noqa: BLE001 — TPU-only builds
+            logging.info("cpu collectives config skipped: %r", e)
+    return cur
 
 
 def _int_env(name):

@@ -139,3 +139,41 @@ def test_two_process_jax_distributed_tsv_pipeline(tmp_path):
     # the per-rank shard files follow the reference's on-disk contract
     for r in range(2):
         assert op.isfile(op.join(multi_dir, "out.tsv.{}.2.tsv".format(r)))
+
+
+def test_cpu_collectives_default_respects_user_choice(monkeypatch):
+    """_maybe_set_cpu_collectives: gloo only as a DEFAULT — a user-set
+    env var or jax.config choice must win (review fix, round 5)."""
+    from gitax.runtime.distributed import _maybe_set_cpu_collectives
+
+    class FakeConfig:
+        def __init__(self, cur):
+            self.jax_cpu_collectives_implementation = cur
+            self.updates = []
+
+        def update(self, name, value):
+            self.updates.append((name, value))
+            setattr(self, name, value)
+
+    class FakeJax:
+        def __init__(self, cur):
+            self.config = FakeConfig(cur)
+
+    # env var set -> untouched, env wins
+    monkeypatch.setenv("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "mpi")
+    j = FakeJax("none")
+    assert _maybe_set_cpu_collectives(j) == "mpi"
+    assert j.config.updates == []
+
+    # unset env + unset config -> defaults to gloo
+    monkeypatch.delenv("JAX_CPU_COLLECTIVES_IMPLEMENTATION", raising=False)
+    j = FakeJax("none")
+    assert _maybe_set_cpu_collectives(j) == "gloo"
+    assert j.config.updates == [
+        ("jax_cpu_collectives_implementation", "gloo")
+    ]
+
+    # config already chosen (e.g. user called jax.config.update) -> kept
+    j = FakeJax("mpi")
+    assert _maybe_set_cpu_collectives(j) == "mpi"
+    assert j.config.updates == []

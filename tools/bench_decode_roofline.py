@@ -51,7 +51,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/gitax_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from bench import build_model, eos_gate_params  # noqa: E402
+from bench import build_model  # noqa: E402
 from gitax.decode import BeamSearchConfig  # noqa: E402
 from gitax.models import GitModel  # noqa: E402
 from gitax.models.config import get_model_param  # noqa: E402
